@@ -1,0 +1,133 @@
+"""Typed render configuration.
+
+The reference hard-codes its knobs across main.cpp / pass constructors
+(resolution 2560x1440 at main.cpp:217-218, fovy 60deg / znear 0.05 / zfar 80 at
+main.cpp:294, GTAO sample count at shaders/gtao/main.comp:53, SSR iteration cap
+at shaders/advanced_ssr/trace.comp:91, probe sizes probe_renderer.hpp:6-7).
+Here they live in one dataclass (SURVEY.md §5.6 rebuild note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Projection constants (reference main.cpp:294)."""
+
+    fovy: float = math.radians(60.0)
+    znear: float = 0.05
+    zfar: float = 80.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GTAOConfig:
+    """GTAO knobs (reference gtao.cpp:20-24, shaders/gtao/main.comp:36-53)."""
+
+    samples: int = 20            # march steps per direction side
+    radius: float = 1.0          # world-space AO radius (main.comp RADIUS)
+    max_thickness: float = 0.1   # MAX_THIKNESS break heuristic
+    pattern_n: int = 4           # rotating direction pattern period
+    two_directions: bool = False # AO_MODE in main.comp
+    mis: bool = False            # MIS AO+reflection mode
+
+
+@dataclasses.dataclass(frozen=True)
+class SSRConfig:
+    """SSSR knobs (reference advanced_ssr.{hpp,cpp}, shaders/advanced_ssr/*)."""
+
+    max_iterations: int = 80     # hi-Z march cap (trace.comp:91)
+    max_roughness: float = 1.0   # settings.max_roughness
+    glossy_roughness: float = 0.2
+    lut_size: int = 1024         # preintegrated PDF / BRDF LUT resolution
+    halton_samples: int = 64     # halton table length (advanced_ssr.cpp:8-34)
+    accumulate: bool = True
+    bilateral_filter: bool = True
+    normalize_filter: bool = True
+    update_probes: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TAAConfig:
+    """TAA knobs (reference taa/resolve.comp, main.cpp:93-116)."""
+
+    blend: float = 0.1           # history blend weight (resolve.comp:52)
+    jitter: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ProbeConfig:
+    """Octahedral probe knobs (reference probe_renderer.hpp:6-7)."""
+
+    oct_size: int = 256          # PROBE_SIZE
+    cube_size: int = 128         # CUBE_SIZE
+    grid: int = 4                # probes per axis in the probe grid
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Pallas rasterizer tiling knobs (no reference analog: replaces Vulkan
+    fixed-function raster). Tile shape is (8, 128)-aligned for the VPU."""
+
+    tile_h: int = 8
+    tile_w: int = 128
+    tri_chunk: int = 16            # triangles processed per inner-loop step
+    max_pairs_factor: float = 8.0  # bin-pair capacity = factor * num_triangles
+    alpha_mask: bool = True        # honor alpha-discard (opaque_taa.frag:32-34)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Top-level configuration for a frame pipeline."""
+
+    width: int = 1920
+    height: int = 1080
+    camera: CameraConfig = CameraConfig()
+    gtao: GTAOConfig = GTAOConfig()
+    ssr: SSRConfig = SSRConfig()
+    taa: TAAConfig = TAAConfig()
+    probes: ProbeConfig = ProbeConfig()
+    raster: RasterConfig = RasterConfig()
+    # Pass toggles (reference ImGui checkboxes; SURVEY.md §5.6)
+    enable_gtao: bool = True
+    enable_ssr: bool = True
+    enable_taa: bool = True
+    enable_probes: bool = False
+    show_ao_only: bool = False     # defered_shading.cpp:120-126 debug view
+    # Emulate the reference's quantized storage formats at pass boundaries
+    # (unorm8 albedo, unorm16 oct normals, D24 depth) for PSNR parity.
+    quantize_formats: bool = True
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height
+
+    @property
+    def half_res(self) -> Tuple[int, int]:
+        return self.height // 2, self.width // 2
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "RenderConfig":
+        raw = json.loads(text)
+        sub = {
+            "camera": CameraConfig,
+            "gtao": GTAOConfig,
+            "ssr": SSRConfig,
+            "taa": TAAConfig,
+            "probes": ProbeConfig,
+            "raster": RasterConfig,
+        }
+        kwargs = {}
+        for key, value in raw.items():
+            if key in sub:
+                kwargs[key] = sub[key](**value)
+            else:
+                kwargs[key] = value
+        return RenderConfig(**kwargs)
