@@ -1,0 +1,85 @@
+"""End-to-end raster pipeline: geometry in, visibility buffer out.
+
+Ties together transform -> near clip -> setup -> binning -> Pallas raster.
+The analog of the reference's per-frame G-buffer draw task
+(scene_renderer.cpp:140-215) minus attribute output, which happens in the
+deferred resolve (resolve.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vkr_tpu.raster import kernel as _kernel
+from vkr_tpu.raster import setup as _setup
+
+
+class VisibilityBuffer(NamedTuple):
+    depth: jnp.ndarray      # (H, W) f32 hardware depth, 1.0 = background
+    tri_id: jnp.ndarray     # (H, W) i32 clipped-triangle id, -1 = background
+    setup: _setup.TriangleSetup  # clipped-triangle raster setup (TC = 2T)
+    weights: jnp.ndarray    # (TC, 3, 3) near-clip corner weights
+    src: jnp.ndarray        # (TC,) source triangle ids
+    corners: jnp.ndarray    # (TC, 3, 4) clip-space corner positions
+    overflow: jnp.ndarray   # () i32 dropped bin pairs (0 = healthy)
+
+
+def rasterize(
+    clip,
+    indices,
+    *,
+    width: int,
+    height: int,
+    tile_h: int = 8,
+    tile_w: int = 128,
+    pair_capacity: Optional[int] = None,
+    jitter=None,
+    use_pallas: bool = True,
+    interpret: bool = False,
+) -> VisibilityBuffer:
+    """Rasterize `indices` (T, 3) over clip-space positions `clip` (V, 4).
+
+    jitter: optional (2,) NDC offset applied to coverage only (TAA).
+    use_pallas=False falls back to the brute-force jnp oracle (tests).
+    """
+    corners, weights, src, valid = _setup.clip_near_triangles(clip, indices)
+    setup = _setup.triangle_setup(corners, valid, width, height, jitter)
+
+    if pair_capacity is None:
+        # Headroom for small scenes whose few triangles span many tiles.
+        n_tiles = (-(-width // tile_w)) * (-(-height // tile_h))
+        pair_capacity = max(int(indices.shape[0] * 8), 4 * n_tiles, 4096)
+
+    if use_pallas:
+        pair_tri, offsets, overflow = _setup.bin_triangles(
+            setup, width, height, tile_h, tile_w, pair_capacity
+        )
+        pair_setup = _kernel.build_pair_setup(setup, pair_tri)
+        zbuf, tid = _kernel.rasterize_tiles(
+            pair_setup,
+            offsets,
+            width=width,
+            height=height,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            interpret=interpret,
+        )
+        zbuf = zbuf[:height, :width]
+        tid = tid[:height, :width]
+    else:
+        zbuf, tid = _kernel.rasterize_reference(setup, width, height)
+        overflow = jnp.zeros((), jnp.int32)
+
+    return VisibilityBuffer(
+        depth=zbuf,
+        tri_id=tid,
+        setup=setup,
+        weights=weights,
+        src=src,
+        corners=corners,
+        overflow=overflow,
+    )
