@@ -16,3 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU plugin overrides JAX_PLATFORMS at import; config.update wins.
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,271 @@
+"""G-buffer raster pass.
+
+The analog of SceneRenderer::draw_taa (scene_renderer.cpp:140-215) +
+gbuf/opaque_taa.{vert,frag}: renders the scene into
+  albedo   (H, W, 4)  linear color (RGBA8_SRGB storage emulated)
+  normal   (H, W, 2)  octahedral encoding in [0,1] (RG16_UNORM emulated)
+  material (H, W, 4)  metallic-roughness texel (g=roughness, b=metallic)
+  velocity (H, W, 2)  0.5 * (prev_ndc - cur_ndc) (RG16F emulated)
+  depth    (H, W)     hardware depth (D24 emulated), 1.0 clear
+
+Alpha-MASK materials (opaque_taa.frag:32-34 discards alpha == 0) run as a
+second raster phase over the masked triangle subset whose coverage is
+alpha-tested at resolve, then depth-merged with the opaque phase — the
+visibility-buffer equivalent of fragment discard (one transparency layer
+deep; the reference's per-fragment discard handles arbitrary depth).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vkr_tpu.core.formats import (
+    linear_to_srgb,
+    quantize_f16,
+    quantize_unorm,
+    srgb_to_linear,
+)
+from vkr_tpu.mathlib.octahedral import encode_normal
+from vkr_tpu.raster import (
+    TriangleSetup,
+    corner_attributes,
+    interpolate_many,
+    pixel_barycentrics,
+    rasterize,
+    transform_normals,
+    transform_vertices,
+)
+from vkr_tpu.raster.texture import (
+    TextureArray,
+    pack_texture_array,
+    quad_derivative_lod,
+    sample_texture_array,
+)
+from vkr_tpu.scene.scene import CompiledScene
+
+
+class SceneDevice(NamedTuple):
+    """Device-resident scene (upload_scene). Triangles are pre-split into
+    opaque / alpha-MASK subsets (static shapes)."""
+
+    positions: jnp.ndarray
+    normals: jnp.ndarray
+    uvs: jnp.ndarray
+    vert_transform: jnp.ndarray
+    transforms: jnp.ndarray
+    normal_mats: jnp.ndarray
+    tri_opaque: jnp.ndarray       # (T1, 3)
+    tri_opaque_mat: jnp.ndarray   # (T1,)
+    tri_masked: jnp.ndarray       # (T2, 3)
+    tri_masked_mat: jnp.ndarray   # (T2,)
+    mat_albedo_tex: jnp.ndarray
+    mat_mr_tex: jnp.ndarray
+    tex: TextureArray
+
+
+def upload_scene(scene: CompiledScene) -> SceneDevice:
+    """device_put analog of the reference's staged scene upload
+    (scene.cpp:270-303 + TransferCmdPool)."""
+    mask = scene.mat_clip_alpha[np.maximum(scene.tri_material, 0)] > 0
+    mask &= scene.tri_material >= 0
+    return SceneDevice(
+        positions=jnp.asarray(scene.positions),
+        normals=jnp.asarray(scene.normals),
+        uvs=jnp.asarray(scene.uvs),
+        vert_transform=jnp.asarray(scene.vert_transform),
+        transforms=jnp.asarray(scene.transforms),
+        normal_mats=jnp.asarray(scene.normal_mats),
+        tri_opaque=jnp.asarray(scene.tri_indices[~mask]),
+        tri_opaque_mat=jnp.asarray(scene.tri_material[~mask]),
+        tri_masked=jnp.asarray(scene.tri_indices[mask]),
+        tri_masked_mat=jnp.asarray(scene.tri_material[mask]),
+        mat_albedo_tex=jnp.asarray(scene.mat_albedo_tex),
+        mat_mr_tex=jnp.asarray(scene.mat_mr_tex),
+        tex=pack_texture_array(scene.tex_mips, scene.tex_wrap),
+    )
+
+
+class GBuffer(NamedTuple):
+    albedo: jnp.ndarray
+    normal: jnp.ndarray
+    material: jnp.ndarray
+    velocity: jnp.ndarray
+    depth: jnp.ndarray
+
+
+DEFAULT_ALBEDO = (0.5, 0.5, 0.5, 1.0)   # opaque_taa.frag:31
+DEFAULT_MATERIAL = (0.5, 0.9, 0.5, 0.5)  # opaque_taa.frag:43
+
+
+def _concat_setups(a: TriangleSetup, b: TriangleSetup) -> TriangleSetup:
+    return TriangleSetup(
+        *[jnp.concatenate([x, y], axis=0) for x, y in zip(a, b)]
+    )
+
+
+def _material_texture(tex, mat_tex_idx, uv, lod, default):
+    """Sample the per-pixel material texture; fall back to the reference's
+    constant when the material has none (index -1)."""
+    valid = mat_tex_idx >= 0
+    color = sample_texture_array(
+        tex, jnp.maximum(mat_tex_idx, 0), uv, lod
+    )
+    return jnp.where(
+        valid[..., None], color,
+        jnp.asarray(default, jnp.float32)[None, None, :],
+    )
+
+
+def render_gbuffer(
+    scene: SceneDevice,
+    view_proj,
+    prev_view_proj,
+    jitter,
+    *,
+    width: int,
+    height: int,
+    quantize: bool = True,
+    use_pallas: bool = True,
+    interpret: bool = False,
+) -> GBuffer:
+    vp = jnp.asarray(view_proj)
+    prev_vp = jnp.asarray(prev_view_proj)
+
+    clip = transform_vertices(
+        scene.positions, scene.vert_transform, scene.transforms, vp
+    )
+    prev_clip = transform_vertices(
+        scene.positions, scene.vert_transform, scene.transforms, prev_vp
+    )
+    world_n = transform_normals(
+        scene.normals, scene.vert_transform, scene.normal_mats
+    )
+
+    rkw = dict(width=width, height=height, jitter=jitter,
+               use_pallas=use_pallas, interpret=interpret)
+    vis = rasterize(clip, scene.tri_opaque, **rkw)
+    tid, depth = vis.tri_id, vis.depth
+    setup, weights, src = vis.setup, vis.weights, vis.src
+    tri_mat = scene.tri_opaque_mat
+    indices = scene.tri_opaque
+
+    has_masked = int(scene.tri_masked.shape[0]) > 0
+    if has_masked:
+        vis_b = rasterize(clip, scene.tri_masked, **rkw)
+        # Alpha test the masked layer (discard iff sampled alpha == 0).
+        bary_b, _ = pixel_barycentrics(vis_b.tri_id, vis_b.setup,
+                                       width, height)
+        uv_b = interpolate_many(
+            {"uv": corner_attributes(scene.uvs, scene.tri_masked,
+                                     vis_b.weights, vis_b.src)},
+            vis_b.tri_id, bary_b,
+        )["uv"]
+        mat_b = scene.tri_masked_mat[
+            vis_b.src[jnp.maximum(vis_b.tri_id, 0)]
+        ]
+        lod_b = quad_derivative_lod(uv_b, scene.tex.sizes[0])
+        alb_b = _material_texture(
+            scene.tex, scene.mat_albedo_tex[jnp.maximum(mat_b, 0)],
+            uv_b, lod_b, DEFAULT_ALBEDO,
+        )
+        keep_b = (
+            (vis_b.tri_id >= 0)
+            & (alb_b[..., 3] != 0.0)
+            & (vis_b.depth <= depth)
+        )
+        n_a = setup.a.shape[0]
+        tid = jnp.where(keep_b, vis_b.tri_id + n_a, tid)
+        depth = jnp.where(keep_b, vis_b.depth, depth)
+        setup = _concat_setups(setup, vis_b.setup)
+        weights = jnp.concatenate([weights, vis_b.weights], axis=0)
+        src_b = vis_b.src + scene.tri_opaque.shape[0]
+        src = jnp.concatenate([src, src_b], axis=0)
+        tri_mat = jnp.concatenate(
+            [scene.tri_opaque_mat, scene.tri_masked_mat], axis=0
+        )
+        indices = jnp.concatenate(
+            [scene.tri_opaque, scene.tri_masked], axis=0
+        )
+
+    # ---- deferred attribute resolve ----
+    bary, mask = pixel_barycentrics(tid, setup, width, height)
+    attrs = interpolate_many(
+        {
+            "normal": corner_attributes(world_n, indices, weights, src),
+            "uv": corner_attributes(scene.uvs, indices, weights, src),
+            "prev_clip": corner_attributes(prev_clip, indices, weights, src),
+            "cur_clip": corner_attributes(clip, indices, weights, src),
+        },
+        tid,
+        bary,
+    )
+
+    mat_id = tri_mat[src[jnp.maximum(tid, 0)]]
+    mat_id = jnp.where(mask, mat_id, -1)
+    uv = attrs["uv"]
+    lod = quad_derivative_lod(uv, scene.tex.sizes[0])
+
+    albedo = _material_texture(
+        scene.tex, jnp.where(mat_id >= 0,
+                             scene.mat_albedo_tex[jnp.maximum(mat_id, 0)],
+                             -1),
+        uv, lod, DEFAULT_ALBEDO,
+    )
+    # SRGB textures: hardware decodes on sample (scene loads all images as
+    # RGBA8_SRGB, images.cpp:22); alpha stays linear.
+    albedo = albedo.at[..., :3].set(srgb_to_linear(albedo[..., :3]))
+    material = _material_texture(
+        scene.tex, jnp.where(mat_id >= 0,
+                             scene.mat_mr_tex[jnp.maximum(mat_id, 0)],
+                             -1),
+        uv, lod, DEFAULT_MATERIAL,
+    )
+    material = material.at[..., :3].set(srgb_to_linear(material[..., :3]))
+
+    n = attrs["normal"]
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-20)
+    normal_oct = encode_normal(n)
+
+    prev_c = attrs["prev_clip"]
+    cur_c = attrs["cur_clip"]
+    prev_ndc = prev_c[..., :2] / jnp.where(
+        jnp.abs(prev_c[..., 3:4]) < 1e-20, 1e-20, prev_c[..., 3:4]
+    )
+    cur_ndc = cur_c[..., :2] / jnp.where(
+        jnp.abs(cur_c[..., 3:4]) < 1e-20, 1e-20, cur_c[..., 3:4]
+    )
+    velocity = 0.5 * (prev_ndc - cur_ndc)  # opaque_taa.frag:46
+
+    # Background: clear colors 0 (clear_color_attachments(0,0,0,0)).
+    m3 = mask[..., None]
+    albedo = jnp.where(m3, albedo, 0.0)
+    material = jnp.where(m3, material, 0.0)
+    normal_oct = jnp.where(m3, normal_oct, 0.0)
+    velocity = jnp.where(m3, velocity, 0.0)
+
+    if quantize:
+        albedo = albedo.at[..., :3].set(
+            srgb_to_linear(
+                quantize_unorm(linear_to_srgb(albedo[..., :3]), 8)
+            )
+        )
+        material = material.at[..., :3].set(
+            srgb_to_linear(
+                quantize_unorm(linear_to_srgb(material[..., :3]), 8)
+            )
+        )
+        normal_oct = quantize_unorm(normal_oct, 16)
+        velocity = quantize_f16(velocity)
+        depth = quantize_unorm(depth, 24)
+
+    return GBuffer(
+        albedo=albedo,
+        normal=normal_oct,
+        material=material,
+        velocity=velocity,
+        depth=depth,
+    )

@@ -1,0 +1,86 @@
+"""Image sampling helpers shared by the image-space passes.
+
+The equivalent of the GLSL texture() / textureLod() calls against render
+targets (DEFAULT_SAMPLER: linear filter, clamp-to-edge — samplers.hpp:36-50)
+expressed as dense gathers over (H, W[, C]) arrays with uv in [0, 1].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _prep(img):
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    return img, squeeze
+
+
+def bilinear_sample(img, uv, offset_texels=None):
+    """texture(img, uv) with linear filter + clamp-to-edge.
+
+    img: (H, W) or (H, W, C); uv: (..., 2) in [0,1].
+    offset_texels: optional (2,) int offset in texel units (textureOffset).
+    """
+    img, squeeze = _prep(img)
+    h, w = img.shape[:2]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    if offset_texels is not None:
+        x = x + offset_texels[0]
+        y = y + offset_texels[1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def tap(xi, yi):
+        xi = jnp.clip(xi, 0, w - 1)
+        yi = jnp.clip(yi, 0, h - 1)
+        return img[yi, xi]
+
+    t00 = tap(x0, y0)
+    t10 = tap(x0 + 1, y0)
+    t01 = tap(x0, y0 + 1)
+    t11 = tap(x0 + 1, y0 + 1)
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    out = top + (bot - top) * fy
+    return out[..., 0] if squeeze else out
+
+
+def nearest_sample(img, uv, offset_texels=None):
+    """texelFetch-style nearest sampling with clamp-to-edge."""
+    img, squeeze = _prep(img)
+    h, w = img.shape[:2]
+    x = jnp.floor(uv[..., 0] * w).astype(jnp.int32)
+    y = jnp.floor(uv[..., 1] * h).astype(jnp.int32)
+    if offset_texels is not None:
+        x = x + offset_texels[0]
+        y = y + offset_texels[1]
+    x = jnp.clip(x, 0, w - 1)
+    y = jnp.clip(y, 0, h - 1)
+    out = img[y, x]
+    return out[..., 0] if squeeze else out
+
+
+def texel_fetch(img, x, y):
+    """texelFetch(img, ivec2(x, y)) with clamp-to-edge."""
+    img, squeeze = _prep(img)
+    h, w = img.shape[:2]
+    x = jnp.clip(x, 0, w - 1)
+    y = jnp.clip(y, 0, h - 1)
+    out = img[y, x]
+    return out[..., 0] if squeeze else out
+
+
+def screen_uv_grid(height: int, width: int):
+    """Per-pixel uv at pixel centers — the fullscreen-triangle varying
+    (screen_uv in the deferred shaders)."""
+    u = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    uu, vv = jnp.meshgrid(u, v)
+    return jnp.stack([uu, vv], axis=-1)

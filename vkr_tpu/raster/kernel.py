@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 #   [12]   triangle id (exact in f32: < 2^24 triangles)
 #   [13:16] padding
 SETUP_WIDTH = 16
-_CHUNK = 128  # pairs streamed per DMA
+_CHUNK = 32  # pairs streamed per DMA / evaluated per VPU batch
 
 
 def _raster_kernel(
@@ -73,23 +73,40 @@ def _raster_kernel(
         data = scratch[...]  # (CHUNK, 16)
         base = ci * _CHUNK
 
-        def tri_body(t, carry2):
-            zbuf, tid = carry2
-            row = data[t]
-            e0 = row[0] * px + row[3] * py + row[6]
-            e1 = row[1] * px + row[4] * py + row[7]
-            e2 = row[2] * px + row[5] * py + row[8]
-            d = row[9] * px + row[10] * py + row[11]
-            cover = (
-                (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-                & (d >= 0.0) & (d <= 1.0) & (d <= zbuf)
-                & (base + t < count)
-            )
-            zbuf = jnp.where(cover, d, zbuf)
-            tid = jnp.where(cover, row[12], tid)
-            return zbuf, tid
+        # All CHUNK triangles at once: (CHUNK, TH, TW) edge/depth planes
+        # evaluated on the VPU, then a masked min-reduce resolves the
+        # chunk's local winner before merging with the carried z-buffer.
+        def col(k):
+            return data[:, k][:, None, None]
 
-        return jax.lax.fori_loop(0, _CHUNK, tri_body, (zbuf, tid))
+        pxb = px[None]
+        pyb = py[None]
+        e0 = col(0) * pxb + col(3) * pyb + col(6)
+        e1 = col(1) * pxb + col(4) * pyb + col(7)
+        e2 = col(2) * pxb + col(5) * pyb + col(8)
+        d = col(9) * pxb + col(10) * pyb + col(11)
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (_CHUNK, tile_h, tile_w), 0
+        )
+        cover = (
+            (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+            & (d >= 0.0) & (d <= 1.0)
+            & (base + lane < count)
+        )
+        dm = jnp.where(cover, d, 2.0)  # 2.0 > any valid depth
+        # LESS_OR_EQUAL + submission order: the LAST triangle achieving the
+        # chunk minimum wins (max lane among the minima).
+        chunk_min = jnp.min(dm, axis=0)  # (TH, TW)
+        at_min = dm <= chunk_min[None]
+        win = jnp.max(jnp.where(at_min, lane, -1), axis=0)
+        onehot = lane == win[None]
+        ids = col(12)
+        chunk_tid = jnp.sum(jnp.where(onehot, ids, 0.0), axis=0)
+
+        better = chunk_min <= zbuf  # chunk is later than all carried work
+        zbuf = jnp.where(better, chunk_min, zbuf)
+        tid = jnp.where(better, chunk_tid, tid)
+        return zbuf, tid
 
     num_chunks = pl.cdiv(count, _CHUNK)
     zbuf, tid = jax.lax.fori_loop(0, num_chunks, chunk_body, (zbuf0, tid0))

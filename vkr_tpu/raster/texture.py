@@ -1,0 +1,138 @@
+"""Texture array sampling — the bindless-descriptor analog.
+
+The reference binds all scene textures as one variable-count descriptor
+array (set 1 `sampler2D material_textures[]`, scene_renderer.cpp:84-103)
+and samples with per-fragment indices. Here all textures live in one flat
+HBM array with a packed mip pyramid; sampling is gather + lerp arithmetic
+over the pixel grid with per-pixel texture index, LOD and wrap mode
+(DEFAULT_SAMPLER is linear/linear with linear mipmaps, samplers.hpp:36-50;
+glTF scene samplers use REPEAT, remapped per texture like
+scene.cpp:104-161).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vkr_tpu.scene.gltf import WRAP_CLAMP, WRAP_REPEAT
+
+
+class TextureArray(NamedTuple):
+    flat: jnp.ndarray      # (NT * FLAT, 4) u8 — all textures, mips packed
+    wrap: jnp.ndarray      # (NT,) i32
+    offsets: Tuple[int, ...]  # static: texel offset of each mip level
+    sizes: Tuple[int, ...]    # static: edge length of each mip level
+    flat_len: int             # FLAT = sum(sizes^2)
+
+
+def pack_texture_array(tex_mips, wrap) -> TextureArray:
+    """(mip pyramids from scene.build_mip_pyramid) -> flat device layout."""
+    sizes = tuple(int(m.shape[1]) for m in tex_mips)
+    offsets = []
+    off = 0
+    for s in sizes:
+        offsets.append(off)
+        off += s * s
+    flat_len = off
+    nt = tex_mips[0].shape[0]
+    flat = np.zeros((nt, flat_len, 4), np.uint8)
+    for m, o, s in zip(tex_mips, offsets, sizes):
+        flat[:, o : o + s * s] = m.reshape(nt, s * s, 4)
+    return TextureArray(
+        flat=jnp.asarray(flat.reshape(nt * flat_len, 4)),
+        wrap=jnp.asarray(wrap, jnp.int32),
+        offsets=tuple(offsets),
+        sizes=sizes,
+        flat_len=flat_len,
+    )
+
+
+def quad_derivative_lod(uv, base_size: int):
+    """Hardware-style 2x2 quad derivatives -> mip LOD per pixel.
+
+    Matches GPU behavior (including its quad-edge quirks): both pixels of a
+    quad pair share the same finite difference.
+    uv: (H, W, 2) in texture uv units. Returns (H, W) f32 lod.
+    """
+    h, w, _ = uv.shape
+    # pair-shuffled differences along x and y
+    uv_x = uv.reshape(h, w // 2, 2, 2)
+    dx = (uv_x[:, :, 1] - uv_x[:, :, 0])  # (H, W/2, 2)
+    dx = jnp.repeat(dx, 2, axis=1).reshape(h, w, 2)
+    uv_y = uv.reshape(h // 2, 2, w, 2)
+    dy = (uv_y[:, 1] - uv_y[:, 0])  # (H/2, W, 2)
+    dy = jnp.repeat(dy[:, None], 2, axis=1).reshape(h, w, 2)
+    scale = float(base_size)
+    rho = jnp.maximum(
+        jnp.linalg.norm(dx * scale, axis=-1),
+        jnp.linalg.norm(dy * scale, axis=-1),
+    )
+    return jnp.log2(jnp.maximum(rho, 1e-12))
+
+
+def _wrap_coord(i, size, wrap_mode):
+    rep = jnp.remainder(i, size)
+    clamp = jnp.clip(i, 0, size - 1)
+    return jnp.where(wrap_mode == WRAP_REPEAT, rep, clamp)
+
+
+def _sample_level(tex: TextureArray, tex_idx, uv, level, wrap_mode):
+    """Bilinear tap at a (per-pixel dynamic) mip level.
+
+    tex_idx/(H,W) i32, uv/(H,W,2), level/(H,W) i32 -> (H, W, 4) f32 [0,1].
+    """
+    sizes = jnp.asarray(tex.sizes, jnp.int32)
+    offs = jnp.asarray(tex.offsets, jnp.int32)
+    s = sizes[level]  # (H, W)
+    o = offs[level]
+    sf = s.astype(jnp.float32)
+
+    x = uv[..., 0] * sf - 0.5
+    y = uv[..., 1] * sf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    base = tex_idx * tex.flat_len + o
+
+    def tap(xi, yi):
+        xi = _wrap_coord(xi, s, wrap_mode)
+        yi = _wrap_coord(yi, s, wrap_mode)
+        idx = base + yi * s + xi
+        return jnp.take(tex.flat, idx, axis=0).astype(jnp.float32) / 255.0
+
+    t00 = tap(x0, y0)
+    t10 = tap(x0 + 1, y0)
+    t01 = tap(x0, y0 + 1)
+    t11 = tap(x0 + 1, y0 + 1)
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
+def sample_texture_array(tex: TextureArray, tex_idx, uv, lod=None):
+    """Trilinear (or bilinear when lod is None) sample.
+
+    Returns (H, W, 4) f32 in [0, 1] — raw stored values (sRGB decode is the
+    caller's job, matching the separate SRGB-format semantics).
+    """
+    n_levels = len(tex.sizes)
+    wrap_mode = tex.wrap[jnp.maximum(tex_idx, 0)]
+    if lod is None:
+        return _sample_level(
+            tex, tex_idx, uv, jnp.zeros_like(tex_idx), wrap_mode
+        )
+    lod = jnp.clip(lod, 0.0, n_levels - 1)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n_levels - 1)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+    c0 = _sample_level(tex, tex_idx, uv, l0, wrap_mode)
+    c1 = _sample_level(tex, tex_idx, uv, l1, wrap_mode)
+    return c0 + (c1 - c0) * frac
