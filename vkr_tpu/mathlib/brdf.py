@@ -31,24 +31,30 @@ def f0_approximation(albedo, metallic):
 
 
 def distribution_ggx(n_dot_h, alpha):
-    """GGX NDF, alpha-parameterized (brdf.glsl:31-38). Zero for back-facing."""
+    """GGX NDF, alpha-parameterized (brdf.glsl:31-38). Zero for back-facing.
+
+    den is clamped away from 0 (noh == +-1 with alpha == 0 would be 0/0;
+    GPU fast-math flushes this, IEEE f32 on TPU does not)."""
     alpha2 = alpha * alpha
     noh2 = n_dot_h * n_dot_h
     den = noh2 * alpha2 + (1.0 - noh2)
-    return jnp.where(noh2 > 0.0, alpha2, 0.0) / (PI * den * den)
+    den = jnp.maximum(den * den, 1e-12)
+    return jnp.where(noh2 > 0.0, alpha2, 0.0) / (PI * den)
 
 
 def brdf_g1(alpha2, n_dot_v):
-    """Smith G1 (brdf.glsl:42-46)."""
-    ndv2 = n_dot_v * n_dot_v
+    """Smith G1 (brdf.glsl:42-46). ndv clamped away from 0 (0*inf = NaN
+    under IEEE; the shader relies on GPU fast-math here)."""
+    ndv2 = jnp.maximum(n_dot_v * n_dot_v, 1e-8)
     tgv2 = (1.0 - ndv2) / ndv2
     return 2.0 / (1.0 + jnp.sqrt(1.0 + alpha2 * tgv2))
 
 
 def brdf_g2(n_dot_v, n_dot_l, alpha2):
-    """Height-correlated Smith G2 (brdf.glsl:48-56)."""
-    ndv2 = n_dot_v * n_dot_v
-    ndl2 = n_dot_l * n_dot_l
+    """Height-correlated Smith G2 (brdf.glsl:48-56). Grazing-angle inputs
+    clamped away from 0 (see brdf_g1)."""
+    ndv2 = jnp.maximum(n_dot_v * n_dot_v, 1e-8)
+    ndl2 = jnp.maximum(n_dot_l * n_dot_l, 1e-8)
     l1 = jnp.sqrt(1.0 + alpha2 * (1.0 - ndv2) / ndv2)
     l2 = jnp.sqrt(1.0 + alpha2 * (1.0 - ndl2) / ndl2)
     return 2.0 / (l1 + l2)

@@ -107,6 +107,59 @@ def _concat_setups(a: TriangleSetup, b: TriangleSetup) -> TriangleSetup:
     )
 
 
+def _resolve_attrs(
+    vis, indices, tri_mat, uvs, world_n, prev_clip,
+    *, width, height, interpret,
+):
+    """Per-pixel interpolated attributes {uv, normal, prev_clip, mat_id}.
+
+    Uses the fused Pallas plane-replay kernel when the raster ran the
+    Pallas path (vis.pair_tri set); falls back to the XLA-gather resolve
+    otherwise (oracle path / tests).
+    """
+    from vkr_tpu.raster import resolve_kernel as _rk
+
+    tri_mat_clipped = tri_mat[vis.src]
+    if vis.pair_tri is not None:
+        corner9 = jnp.concatenate(
+            [
+                corner_attributes(uvs, indices, vis.weights, vis.src),
+                corner_attributes(world_n, indices, vis.weights, vis.src),
+                corner_attributes(prev_clip, indices, vis.weights, vis.src),
+            ],
+            axis=-1,
+        )  # (TC, 3, 9)
+        rows = _rk.build_resolve_rows(
+            vis.setup, vis.pair_tri, corner9, tri_mat_clipped
+        )
+        out = _rk.resolve_tiles(
+            rows, vis.seg_starts, vis.seg_counts, vis.tri_id_padded,
+            width=width, height=height, interpret=interpret,
+        )
+        out = out[:, :height, :width]
+        return {
+            "uv": jnp.moveaxis(out[0:2], 0, -1),
+            "normal": jnp.moveaxis(out[2:5], 0, -1),
+            "prev_clip": jnp.moveaxis(out[5:9], 0, -1),
+            "mat_id": out[9].astype(jnp.int32),
+        }
+
+    bary, mask = pixel_barycentrics(vis.tri_id, vis.setup, width, height)
+    attrs = interpolate_many(
+        {
+            "uv": corner_attributes(uvs, indices, vis.weights, vis.src),
+            "normal": corner_attributes(world_n, indices, vis.weights,
+                                        vis.src),
+            "prev_clip": corner_attributes(prev_clip, indices, vis.weights,
+                                           vis.src),
+        },
+        vis.tri_id,
+        bary,
+    )
+    attrs["mat_id"] = tri_mat_clipped[jnp.maximum(vis.tri_id, 0)]
+    return attrs
+
+
 def _material_texture(tex, mat_tex_idx, uv, lod, default):
     """Sample the per-pixel material texture; fall back to the reference's
     constant when the material has none (index -1)."""
@@ -147,65 +200,48 @@ def render_gbuffer(
 
     rkw = dict(width=width, height=height, jitter=jitter,
                use_pallas=use_pallas, interpret=interpret)
+    akw = dict(width=width, height=height, interpret=interpret)
     vis = rasterize(clip, scene.tri_opaque, **rkw)
-    tid, depth = vis.tri_id, vis.depth
-    setup, weights, src = vis.setup, vis.weights, vis.src
-    tri_mat = scene.tri_opaque_mat
-    indices = scene.tri_opaque
+    depth = vis.depth
+    mask = vis.tri_id >= 0
+    attrs = _resolve_attrs(
+        vis, scene.tri_opaque, scene.tri_opaque_mat, scene.uvs, world_n,
+        prev_clip, **akw,
+    )
 
     has_masked = int(scene.tri_masked.shape[0]) > 0
     if has_masked:
         vis_b = rasterize(clip, scene.tri_masked, **rkw)
-        # Alpha test the masked layer (discard iff sampled alpha == 0).
-        bary_b, _ = pixel_barycentrics(vis_b.tri_id, vis_b.setup,
-                                       width, height)
-        uv_b = interpolate_many(
-            {"uv": corner_attributes(scene.uvs, scene.tri_masked,
-                                     vis_b.weights, vis_b.src)},
-            vis_b.tri_id, bary_b,
-        )["uv"]
-        mat_b = scene.tri_masked_mat[
-            vis_b.src[jnp.maximum(vis_b.tri_id, 0)]
-        ]
-        lod_b = quad_derivative_lod(uv_b, scene.tex.sizes[0])
+        attrs_b = _resolve_attrs(
+            vis_b, scene.tri_masked, scene.tri_masked_mat, scene.uvs,
+            world_n, prev_clip, **akw,
+        )
+        # Alpha test the masked layer (discard iff sampled alpha == 0,
+        # opaque_taa.frag:32-34), then depth-merge with the opaque layer.
+        lod_b = quad_derivative_lod(attrs_b["uv"], scene.tex.sizes[0])
         alb_b = _material_texture(
-            scene.tex, scene.mat_albedo_tex[jnp.maximum(mat_b, 0)],
-            uv_b, lod_b, DEFAULT_ALBEDO,
+            scene.tex,
+            scene.mat_albedo_tex[jnp.maximum(attrs_b["mat_id"], 0)],
+            attrs_b["uv"], lod_b, DEFAULT_ALBEDO,
         )
         keep_b = (
             (vis_b.tri_id >= 0)
             & (alb_b[..., 3] != 0.0)
             & (vis_b.depth <= depth)
         )
-        n_a = setup.a.shape[0]
-        tid = jnp.where(keep_b, vis_b.tri_id + n_a, tid)
         depth = jnp.where(keep_b, vis_b.depth, depth)
-        setup = _concat_setups(setup, vis_b.setup)
-        weights = jnp.concatenate([weights, vis_b.weights], axis=0)
-        src_b = vis_b.src + scene.tri_opaque.shape[0]
-        src = jnp.concatenate([src, src_b], axis=0)
-        tri_mat = jnp.concatenate(
-            [scene.tri_opaque_mat, scene.tri_masked_mat], axis=0
-        )
-        indices = jnp.concatenate(
-            [scene.tri_opaque, scene.tri_masked], axis=0
-        )
+        mask = mask | keep_b
+        k1 = keep_b[..., None]
+        attrs = {
+            "uv": jnp.where(k1, attrs_b["uv"], attrs["uv"]),
+            "normal": jnp.where(k1, attrs_b["normal"], attrs["normal"]),
+            "prev_clip": jnp.where(k1, attrs_b["prev_clip"],
+                                   attrs["prev_clip"]),
+            "mat_id": jnp.where(keep_b, attrs_b["mat_id"],
+                                attrs["mat_id"]),
+        }
 
-    # ---- deferred attribute resolve ----
-    bary, mask = pixel_barycentrics(tid, setup, width, height)
-    attrs = interpolate_many(
-        {
-            "normal": corner_attributes(world_n, indices, weights, src),
-            "uv": corner_attributes(scene.uvs, indices, weights, src),
-            "prev_clip": corner_attributes(prev_clip, indices, weights, src),
-            "cur_clip": corner_attributes(clip, indices, weights, src),
-        },
-        tid,
-        bary,
-    )
-
-    mat_id = tri_mat[src[jnp.maximum(tid, 0)]]
-    mat_id = jnp.where(mask, mat_id, -1)
+    mat_id = jnp.where(mask, attrs["mat_id"], -1)
     uv = attrs["uv"]
     lod = quad_derivative_lod(uv, scene.tex.sizes[0])
 
@@ -231,13 +267,16 @@ def render_gbuffer(
     normal_oct = encode_normal(n)
 
     prev_c = attrs["prev_clip"]
-    cur_c = attrs["cur_clip"]
     prev_ndc = prev_c[..., :2] / jnp.where(
         jnp.abs(prev_c[..., 3:4]) < 1e-20, 1e-20, prev_c[..., 3:4]
     )
-    cur_ndc = cur_c[..., :2] / jnp.where(
-        jnp.abs(cur_c[..., 3:4]) < 1e-20, 1e-20, cur_c[..., 3:4]
-    )
+    # Current unjittered NDC is analytic: the raster covered this pixel with
+    # jittered geometry, so interpolated pos_after == pixel ndc - jitter.
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0
+    cur_ndc = jnp.stack(
+        jnp.meshgrid(xs, ys), axis=-1
+    ) - jnp.asarray(jitter)[None, None, :]
     velocity = 0.5 * (prev_ndc - cur_ndc)  # opaque_taa.frag:46
 
     # Background: clear colors 0 (clear_color_attachments(0,0,0,0)).

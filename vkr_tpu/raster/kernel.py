@@ -3,13 +3,18 @@
 The one genuinely new native component of the TPU build (SURVEY.md §7 hard
 part 1): replaces Vulkan fixed-function rasterization. The frame's triangle
 work lists (setup.py binning) are walked per (tile_h, tile_w) pixel tile;
-each tile keeps a VMEM depth buffer and triangle-id buffer, streams its
-binned triangle setup rows from HBM by async DMA, evaluates three edge
-functions + the depth plane over the whole tile per triangle on the VPU,
-and resolves LESS_OR_EQUAL depth wins. The output is a visibility buffer
-(depth + winning triangle id); attribute interpolation and texturing happen
-in a separate deferred resolve pass (resolve.py) so the hot loop stays
-gather-free.
+each tile keeps its depth/tri-id state in registers, streams its binned
+triangle setup rows HBM -> SMEM by async DMA (SMEM is untiled, so the
+16-float rows are legal to slice), and the scalar unit feeds per-triangle
+edge/depth plane coefficients to full-tile VPU ops. LESS_OR_EQUAL depth
+wins; output is a visibility buffer (depth + winning triangle id).
+Attribute interpolation and texturing happen in a separate deferred resolve
+pass (resolve.py) so the hot loop stays gather-free.
+
+Memory layout: pair rows are 16 f32 (SETUP_WIDTH); the pair buffer is
+viewed as (n_rows, 128) — PAIRS_PER_ROW = 8 pairs per 128-lane row — and
+tile segments are aligned to row boundaries (setup.PAIR_ALIGN), so chunk
+DMAs are whole aligned rows.
 """
 
 from __future__ import annotations
@@ -21,7 +26,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# pair_setup row layout (f32):
+from vkr_tpu.raster.setup import PAIR_ALIGN
+
+# pair row layout (f32):
 #   [0:3]  a0 a1 a2   edge x coefficients
 #   [3:6]  b0 b1 b2   edge y coefficients
 #   [6:9]  c0 c1 c2   edge constants (fill-rule biased)
@@ -29,15 +36,18 @@ from jax.experimental.pallas import tpu as pltpu
 #   [12]   triangle id (exact in f32: < 2^24 triangles)
 #   [13:16] padding
 SETUP_WIDTH = 16
-_CHUNK = 32  # pairs streamed per DMA / evaluated per VPU batch
+PAIRS_PER_ROW = 128 // SETUP_WIDTH  # 8 (== setup.PAIR_ALIGN)
+_CHUNK = 32                          # pairs per DMA chunk
+_CHUNK_ROWS = _CHUNK * SETUP_WIDTH // 128  # 4 rows of 128 lanes
 
 
 def _raster_kernel(
-    offsets_ref,  # scalar prefetch: (n_tiles+1,) int32 CSR offsets
-    pair_hbm,     # (CAP + CHUNK, 16) f32 pair-expanded setup, in ANY/HBM
+    starts_ref,   # scalar prefetch: (n_tiles,) i32 aligned segment starts
+    counts_ref,   # scalar prefetch: (n_tiles,) i32 true pair counts
+    pair_hbm,     # (n_rows, 128) f32 pair buffer (8 pairs per row), HBM
     zbuf_ref,     # out: (TH, TW) f32
     tid_ref,      # out: (TH, TW) i32
-    scratch,      # VMEM (CHUNK, 16) f32
+    scratch,      # SMEM (_CHUNK_ROWS, 128) f32
     sem,          # DMA semaphore
     *,
     tile_h: int,
@@ -48,17 +58,18 @@ def _raster_kernel(
     tiles_x = pl.num_programs(1)
     tile_id = ty * tiles_x + tx
 
-    start = offsets_ref[tile_id]
-    count = offsets_ref[tile_id + 1] - start
+    start = starts_ref[tile_id]          # multiple of PAIR_ALIGN
+    count = counts_ref[tile_id]
+    row0 = start // PAIRS_PER_ROW
 
     px = (
-        jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
-        + tx * tile_w + 0.5
-    )
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        + tx * tile_w
+    ).astype(jnp.float32) + 0.5
     py = (
-        jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
-        + ty * tile_h + 0.5
-    )
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        + ty * tile_h
+    ).astype(jnp.float32) + 0.5
 
     zbuf0 = jnp.ones((tile_h, tile_w), jnp.float32)
     tid0 = jnp.full((tile_h, tile_w), -1.0, jnp.float32)
@@ -66,46 +77,30 @@ def _raster_kernel(
     def chunk_body(ci, carry):
         zbuf, tid = carry
         cp = pltpu.make_async_copy(
-            pair_hbm.at[pl.ds(start + ci * _CHUNK, _CHUNK)], scratch, sem
+            pair_hbm.at[pl.ds(row0 + ci * _CHUNK_ROWS, _CHUNK_ROWS)],
+            scratch,
+            sem,
         )
         cp.start()
         cp.wait()
-        data = scratch[...]  # (CHUNK, 16)
         base = ci * _CHUNK
+        for t in range(_CHUNK):  # static unroll; static SMEM indices
+            valid = (base + t) < count
+            flat = t * SETUP_WIDTH
 
-        # All CHUNK triangles at once: (CHUNK, TH, TW) edge/depth planes
-        # evaluated on the VPU, then a masked min-reduce resolves the
-        # chunk's local winner before merging with the carried z-buffer.
-        def col(k):
-            return data[:, k][:, None, None]
+            def f(k, flat=flat):
+                return scratch[(flat + k) // 128, (flat + k) % 128]
 
-        pxb = px[None]
-        pyb = py[None]
-        e0 = col(0) * pxb + col(3) * pyb + col(6)
-        e1 = col(1) * pxb + col(4) * pyb + col(7)
-        e2 = col(2) * pxb + col(5) * pyb + col(8)
-        d = col(9) * pxb + col(10) * pyb + col(11)
-        lane = jax.lax.broadcasted_iota(
-            jnp.int32, (_CHUNK, tile_h, tile_w), 0
-        )
-        cover = (
-            (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-            & (d >= 0.0) & (d <= 1.0)
-            & (base + lane < count)
-        )
-        dm = jnp.where(cover, d, 2.0)  # 2.0 > any valid depth
-        # LESS_OR_EQUAL + submission order: the LAST triangle achieving the
-        # chunk minimum wins (max lane among the minima).
-        chunk_min = jnp.min(dm, axis=0)  # (TH, TW)
-        at_min = dm <= chunk_min[None]
-        win = jnp.max(jnp.where(at_min, lane, -1), axis=0)
-        onehot = lane == win[None]
-        ids = col(12)
-        chunk_tid = jnp.sum(jnp.where(onehot, ids, 0.0), axis=0)
-
-        better = chunk_min <= zbuf  # chunk is later than all carried work
-        zbuf = jnp.where(better, chunk_min, zbuf)
-        tid = jnp.where(better, chunk_tid, tid)
+            e0 = f(0) * px + f(3) * py + f(6)
+            e1 = f(1) * px + f(4) * py + f(7)
+            e2 = f(2) * px + f(5) * py + f(8)
+            d = f(9) * px + f(10) * py + f(11)
+            cover = (
+                (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                & (d >= 0.0) & (d <= 1.0) & (d <= zbuf) & valid
+            )
+            zbuf = jnp.where(cover, d, zbuf)
+            tid = jnp.where(cover, f(12), tid)
         return zbuf, tid
 
     num_chunks = pl.cdiv(count, _CHUNK)
@@ -114,26 +109,30 @@ def _raster_kernel(
     tid_ref[...] = tid.astype(jnp.int32)
 
 
-def build_pair_setup(setup, pair_tri_sorted):
-    """Gather the binned, tile-sorted per-pair setup rows (jnp).
+def build_pair_setup(setup, pair_tri_aligned):
+    """Gather the binned, segment-aligned per-pair setup rows (jnp).
 
-    Returns (CAP + CHUNK, 16) f32, padded so the kernel's fixed-size chunk
-    DMAs never run off the end.
+    Returns (n_rows, 128) f32 — PAIRS_PER_ROW pair rows packed per 128-lane
+    row, padded with one extra chunk so fixed-size DMAs never run off the
+    end. Padding pairs (id -1) carry c = -1 edges so they never cover.
     """
-    t = jnp.maximum(pair_tri_sorted, 0)
+    t = jnp.maximum(pair_tri_aligned, 0)
+    live = (pair_tri_aligned >= 0)[:, None]
+    zeros3 = jnp.zeros((t.shape[0], 3), jnp.float32)
     rows = jnp.concatenate(
         [
-            setup.a[t],
-            setup.b[t],
-            setup.c[t],
-            setup.zplane[t],
-            pair_tri_sorted[:, None].astype(jnp.float32),
-            jnp.zeros((t.shape[0], 3), jnp.float32),
+            jnp.where(live, setup.a[t], 0.0),
+            jnp.where(live, setup.b[t], 0.0),
+            jnp.where(live, setup.c[t], -1.0),  # e = -1 < 0: no coverage
+            jnp.where(live, setup.zplane[t], 0.0),
+            pair_tri_aligned[:, None].astype(jnp.float32),
+            zeros3,
         ],
         axis=-1,
     )
     pad = jnp.zeros((_CHUNK, SETUP_WIDTH), jnp.float32)
-    return jnp.concatenate([rows, pad], axis=0)
+    flat = jnp.concatenate([rows, pad], axis=0).reshape(-1, 128)
+    return flat
 
 
 @functools.partial(
@@ -142,7 +141,8 @@ def build_pair_setup(setup, pair_tri_sorted):
 )
 def rasterize_tiles(
     pair_setup,
-    offsets,
+    seg_starts,
+    seg_counts,
     *,
     width: int,
     height: int,
@@ -159,15 +159,15 @@ def rasterize_tiles(
     tiles_y = -(-height // tile_h)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(tiles_y, tiles_x),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=[
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_CHUNK, SETUP_WIDTH), jnp.float32),
+            pltpu.SMEM((_CHUNK_ROWS, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -181,7 +181,7 @@ def rasterize_tiles(
                                  jnp.int32),
         ],
         interpret=interpret,
-    )(offsets, pair_setup)
+    )(seg_starts, seg_counts, pair_setup)
     return zbuf, tid
 
 

@@ -26,6 +26,12 @@ class VisibilityBuffer(NamedTuple):
     src: jnp.ndarray        # (TC,) source triangle ids
     corners: jnp.ndarray    # (TC, 3, 4) clip-space corner positions
     overflow: jnp.ndarray   # () i32 dropped bin pairs (0 = healthy)
+    # Binning products (None on the jnp-oracle path), reused by the fused
+    # Pallas resolve kernel (resolve_kernel.py):
+    pair_tri: Optional[jnp.ndarray] = None    # (CAP_AL,) i32
+    seg_starts: Optional[jnp.ndarray] = None  # (n_tiles,) i32
+    seg_counts: Optional[jnp.ndarray] = None  # (n_tiles,) i32
+    tri_id_padded: Optional[jnp.ndarray] = None  # (H', W') tile-aligned
 
 
 def rasterize(
@@ -55,25 +61,32 @@ def rasterize(
         pair_capacity = max(int(indices.shape[0] * 8), 4 * n_tiles, 4096)
 
     if use_pallas:
-        pair_tri, offsets, overflow = _setup.bin_triangles(
+        pair_tri, seg_starts, seg_counts, overflow = _setup.bin_triangles(
             setup, width, height, tile_h, tile_w, pair_capacity
         )
         pair_setup = _kernel.build_pair_setup(setup, pair_tri)
         zbuf, tid = _kernel.rasterize_tiles(
             pair_setup,
-            offsets,
+            seg_starts,
+            seg_counts,
             width=width,
             height=height,
             tile_h=tile_h,
             tile_w=tile_w,
             interpret=interpret,
         )
+        tid_padded = tid
         zbuf = zbuf[:height, :width]
         tid = tid[:height, :width]
-    else:
-        zbuf, tid = _kernel.rasterize_reference(setup, width, height)
-        overflow = jnp.zeros((), jnp.int32)
+        return VisibilityBuffer(
+            depth=zbuf, tri_id=tid, setup=setup, weights=weights, src=src,
+            corners=corners, overflow=overflow, pair_tri=pair_tri,
+            seg_starts=seg_starts, seg_counts=seg_counts,
+            tri_id_padded=tid_padded,
+        )
 
+    zbuf, tid = _kernel.rasterize_reference(setup, width, height)
+    overflow = jnp.zeros((), jnp.int32)
     return VisibilityBuffer(
         depth=zbuf,
         tri_id=tid,

@@ -1,0 +1,207 @@
+"""Fused Pallas attribute-resolve kernel.
+
+XLA's TPU gather is scalarized (~0.09 Gtaps/s measured — a 2M-pixel
+attribute resolve costs ~85 ms), so the deferred resolve instead REPLAYS
+each tile's binned pair segment: perspective-correct interpolation of any
+vertex attribute is (sum_i e_i(x,y) * attr_i / w_i) / (sum_i e_i(x,y) / w_i)
+and both numerator and denominator are linear in screen (x, y), so every
+channel is a plane (p, q, r) evaluated where the pair's triangle id matches
+the visibility buffer — streaming DMA + FMA + select, zero gathers.
+
+Row layout (RESOLVE_WIDTH = 32 f32, 4 pairs per 128-lane row):
+  [0]      triangle id (f32-exact)
+  [1:4]    denominator plane  sum e_i/w_i
+  [4:10]   uv/w planes        (u, v) x (p,q,r)
+  [10:19]  normal/w planes    (nx, ny, nz) x (p,q,r)
+  [19:31]  prev_clip/w planes (x,y,z,w) x (p,q,r)
+  [31]     material id (f32)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RESOLVE_WIDTH = 32
+_CHUNK = 32                                   # pairs per DMA chunk
+_CHUNK_ROWS = _CHUNK * RESOLVE_WIDTH // 128   # 8 rows of 128 lanes
+
+# interpolated channels: uv(2) + normal(3) + prev_clip(4)
+N_CHANNELS = 9
+
+
+def build_resolve_rows(setup, pair_tri_aligned, corner_attrs, tri_mat):
+    """Precompute per-pair plane rows (jnp, dense).
+
+    corner_attrs: (TC, 3, K=N_CHANNELS) per-corner attribute values
+    (already near-clip mixed). tri_mat: (TC,) i32 material per clipped tri.
+    Returns (n_rows, 128) f32.
+    """
+    t = jnp.maximum(pair_tri_aligned, 0)
+    live = pair_tri_aligned >= 0
+
+    a = setup.a[t]        # (P, 3)
+    b = setup.b[t]
+    c = setup.c[t]
+    inv_w = setup.inv_w[t]  # (P, 3)
+    attrs = corner_attrs[t]  # (P, 3, K)
+
+    denom = jnp.stack(
+        [
+            (a * inv_w).sum(-1),
+            (b * inv_w).sum(-1),
+            (c * inv_w).sum(-1),
+        ],
+        axis=-1,
+    )  # (P, 3)
+
+    aw = attrs * inv_w[..., None]  # (P, 3, K) attr_i / w_i
+    ch_p = jnp.einsum("pi,pik->pk", a, aw, precision="highest")
+    ch_q = jnp.einsum("pi,pik->pk", b, aw, precision="highest")
+    ch_r = jnp.einsum("pi,pik->pk", c, aw, precision="highest")
+    # interleave (p,q,r) per channel -> (P, K, 3) -> (P, 3K)
+    ch = jnp.stack([ch_p, ch_q, ch_r], axis=-1).reshape(a.shape[0], -1)
+
+    rows = jnp.concatenate(
+        [
+            jnp.where(live, pair_tri_aligned, -1)[:, None].astype(jnp.float32),
+            jnp.where(live[:, None], denom, 0.0),
+            jnp.where(live[:, None], ch, 0.0),
+            tri_mat[t][:, None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # (P, 32)
+    pad = jnp.zeros((_CHUNK, RESOLVE_WIDTH), jnp.float32)
+    return jnp.concatenate([rows, pad], axis=0).reshape(-1, 128)
+
+
+def _resolve_kernel(
+    starts_ref,
+    counts_ref,
+    rows_hbm,
+    tid_ref,        # in: (TH, TW) i32 visibility buffer block
+    out_ref,        # out: (TH, TW, N_CHANNELS + 1) f32 — attrs + mat_id
+    scratch,        # SMEM (_CHUNK_ROWS, 128)
+    sem,
+    *,
+    tile_h: int,
+    tile_w: int,
+):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tiles_x = pl.num_programs(1)
+    tile_id = ty * tiles_x + tx
+
+    start = starts_ref[tile_id]
+    count = counts_ref[tile_id]
+    row0 = start // (128 // RESOLVE_WIDTH)
+
+    px = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        + tx * tile_w
+    ).astype(jnp.float32) + 0.5
+    py = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        + ty * tile_h
+    ).astype(jnp.float32) + 0.5
+
+    tid = tid_ref[...].astype(jnp.float32)
+
+    zero = jnp.zeros((tile_h, tile_w), jnp.float32)
+    init = (
+        [jnp.ones((tile_h, tile_w), jnp.float32)]      # denom
+        + [zero] * N_CHANNELS
+        + [jnp.full((tile_h, tile_w), -1.0, jnp.float32)]  # mat id
+    )
+
+    def chunk_body(ci, carry):
+        carry = list(carry)
+        cp = pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(row0 + ci * _CHUNK_ROWS, _CHUNK_ROWS)],
+            scratch,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+        base = ci * _CHUNK
+        for t in range(_CHUNK):
+            flat = t * RESOLVE_WIDTH
+
+            def f(k, flat=flat):
+                return scratch[(flat + k) // 128, (flat + k) % 128]
+
+            valid = (base + t) < count
+            match = (tid == f(0)) & valid
+            carry[0] = jnp.where(
+                match, f(1) * px + f(2) * py + f(3), carry[0]
+            )
+            for ch in range(N_CHANNELS):
+                o = 4 + 3 * ch
+                carry[1 + ch] = jnp.where(
+                    match, f(o) * px + f(o + 1) * py + f(o + 2),
+                    carry[1 + ch],
+                )
+            carry[-1] = jnp.where(match, f(31), carry[-1])
+        return tuple(carry)
+
+    num_chunks = pl.cdiv(count, _CHUNK)
+    res = jax.lax.fori_loop(0, num_chunks, chunk_body, tuple(init))
+
+    denom = res[0]
+    inv_denom = 1.0 / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+    for ch in range(N_CHANNELS):
+        out_ref[ch] = res[1 + ch] * inv_denom
+    out_ref[N_CHANNELS] = res[-1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile_h", "tile_w", "interpret"),
+)
+def resolve_tiles(
+    resolve_rows,
+    seg_starts,
+    seg_counts,
+    tid_full,
+    *,
+    width: int,
+    height: int,
+    tile_h: int = 8,
+    tile_w: int = 128,
+    interpret: bool = False,
+):
+    """Returns (N_CHANNELS + 1, H', W'): interpolated [uv(2), normal(3),
+    prev_clip(4)] + mat_id (channel-major), tile-aligned (crop to
+    height/width)."""
+    tiles_x = -(-width // tile_w)
+    tiles_y = -(-height // tile_h)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (N_CHANNELS + 1, tile_h, tile_w), lambda i, j, *_: (0, i, j)
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((_CHUNK_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_resolve_kernel, tile_h=tile_h, tile_w=tile_w),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (N_CHANNELS + 1, tiles_y * tile_h, tiles_x * tile_w),
+            jnp.float32,
+        ),
+        interpret=interpret,
+    )(seg_starts, seg_counts, resolve_rows, tid_full)
+    return out

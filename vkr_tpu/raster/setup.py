@@ -234,6 +234,9 @@ def triangle_setup(
     )
 
 
+PAIR_ALIGN = 8  # tile segments aligned to 8 pairs (= one 128-lane row)
+
+
 def bin_triangles(
     setup: TriangleSetup,
     width: int,
@@ -242,14 +245,17 @@ def bin_triangles(
     tile_w: int,
     pair_capacity: int,
 ):
-    """Expand triangles into sorted (tile, triangle) pairs + CSR offsets.
+    """Expand triangles into per-tile work lists + aligned segment table.
 
     The reference leans on the hardware rasterizer's own binning; here this
     is the Pallas kernel's work list. Dataflow only: counts -> exclusive
-    cumsum -> repeat -> sort by tile id -> searchsorted offsets.
+    cumsum -> repeat -> sort by tile id -> scatter into segments whose
+    starts are aligned to PAIR_ALIGN pairs (so the kernel's DMA row slices
+    land on 128-lane boundaries).
 
-    Returns (pair_tri (CAP,) int32 sorted by tile, offsets (n_tiles+1,)
-    int32, overflow (,) int32 — number of dropped pairs (0 in healthy runs)).
+    Returns (pair_tri (CAP_AL,) int32 segment layout (-1 = padding),
+    seg_starts (n_tiles,) int32 aligned starts, seg_counts (n_tiles,) int32,
+    overflow () int32 — dropped pairs, 0 in healthy runs).
     """
     tiles_x = -(-width // tile_w)
     tiles_y = -(-height // tile_h)
@@ -287,5 +293,25 @@ def bin_triangles(
     offsets = jnp.searchsorted(
         tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
+    seg_counts = offsets[1:] - offsets[:-1]  # (n_tiles,)
+
+    padded = (
+        (seg_counts + PAIR_ALIGN - 1) // PAIR_ALIGN
+    ) * PAIR_ALIGN
+    seg_starts = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+
+    cap_al = pair_capacity + PAIR_ALIGN * n_tiles
+    cap_al = ((cap_al + PAIR_ALIGN - 1) // PAIR_ALIGN) * PAIR_ALIGN
+    rank = slot - offsets[jnp.clip(tile_sorted, 0, n_tiles - 1)]
+    pos = jnp.where(
+        tile_sorted < n_tiles,
+        seg_starts[jnp.clip(tile_sorted, 0, n_tiles - 1)] + rank,
+        cap_al,  # dropped
+    )
+    pair_tri_aligned = (
+        jnp.full((cap_al,), -1, jnp.int32)
+        .at[pos]
+        .set(pair_tri_sorted, mode="drop")
+    )
     overflow = jnp.maximum(total - cap, 0).astype(jnp.int32)
-    return pair_tri_sorted, offsets, overflow
+    return pair_tri_aligned, seg_starts, seg_counts, overflow

@@ -21,12 +21,35 @@ import numpy as np
 from vkr_tpu.scene.gltf import WRAP_CLAMP, WRAP_REPEAT
 
 
-class TextureArray(NamedTuple):
+import dataclasses
+
+import jax
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TextureArray:
+    """Packed texture-array pytree. `flat`/`wrap` are device arrays; the
+    mip layout (offsets/sizes/flat_len) is static metadata so it survives
+    jit argument passing as compile-time constants."""
+
     flat: jnp.ndarray      # (NT * FLAT, 4) u8 — all textures, mips packed
     wrap: jnp.ndarray      # (NT,) i32
     offsets: Tuple[int, ...]  # static: texel offset of each mip level
     sizes: Tuple[int, ...]    # static: edge length of each mip level
     flat_len: int             # FLAT = sum(sizes^2)
+
+    def tree_flatten(self):
+        return (self.flat, self.wrap), (
+            self.offsets, self.sizes, self.flat_len,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        flat, wrap = children
+        offsets, sizes, flat_len = aux
+        return cls(flat=flat, wrap=wrap, offsets=offsets, sizes=sizes,
+                   flat_len=flat_len)
 
 
 def pack_texture_array(tex_mips, wrap) -> TextureArray:
@@ -117,8 +140,17 @@ def _sample_level(tex: TextureArray, tex_idx, uv, level, wrap_mode):
     return top + (bot - top) * fy
 
 
-def sample_texture_array(tex: TextureArray, tex_idx, uv, lod=None):
-    """Trilinear (or bilinear when lod is None) sample.
+def sample_texture_array(
+    tex: TextureArray, tex_idx, uv, lod=None, quality: str = "bilinear"
+):
+    """Mipmapped texture sample.
+
+    quality:
+      'trilinear' — linear mip filter (DEFAULT_SAMPLER parity, 8 taps)
+      'bilinear'  — bilinear at the rounded mip (4 taps; default — XLA
+                    gather costs scale with tap count, SURVEY.md §7 hard
+                    part 3)
+      'nearest'   — single tap at the rounded mip
 
     Returns (H, W, 4) f32 in [0, 1] — raw stored values (sRGB decode is the
     caller's job, matching the separate SRGB-format semantics).
@@ -130,9 +162,28 @@ def sample_texture_array(tex: TextureArray, tex_idx, uv, lod=None):
             tex, tex_idx, uv, jnp.zeros_like(tex_idx), wrap_mode
         )
     lod = jnp.clip(lod, 0.0, n_levels - 1)
-    l0 = jnp.floor(lod).astype(jnp.int32)
-    l1 = jnp.minimum(l0 + 1, n_levels - 1)
-    frac = (lod - l0.astype(jnp.float32))[..., None]
-    c0 = _sample_level(tex, tex_idx, uv, l0, wrap_mode)
-    c1 = _sample_level(tex, tex_idx, uv, l1, wrap_mode)
-    return c0 + (c1 - c0) * frac
+    if quality == "trilinear":
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, n_levels - 1)
+        frac = (lod - l0.astype(jnp.float32))[..., None]
+        c0 = _sample_level(tex, tex_idx, uv, l0, wrap_mode)
+        c1 = _sample_level(tex, tex_idx, uv, l1, wrap_mode)
+        return c0 + (c1 - c0) * frac
+    level = jnp.round(lod).astype(jnp.int32)
+    if quality == "nearest":
+        return _sample_level_nearest(tex, tex_idx, uv, level, wrap_mode)
+    return _sample_level(tex, tex_idx, uv, level, wrap_mode)
+
+
+def _sample_level_nearest(tex: TextureArray, tex_idx, uv, level, wrap_mode):
+    sizes = jnp.asarray(tex.sizes, jnp.int32)
+    offs = jnp.asarray(tex.offsets, jnp.int32)
+    s = sizes[level]
+    o = offs[level]
+    sf = s.astype(jnp.float32)
+    xi = _wrap_coord(jnp.floor(uv[..., 0] * sf).astype(jnp.int32), s,
+                     wrap_mode)
+    yi = _wrap_coord(jnp.floor(uv[..., 1] * sf).astype(jnp.int32), s,
+                     wrap_mode)
+    idx = tex_idx * tex.flat_len + o + yi * s + xi
+    return jnp.take(tex.flat, idx, axis=0).astype(jnp.float32) / 255.0

@@ -100,11 +100,11 @@ def main(argv=None):
 
     interpret = jax.default_backend() != "tpu"
 
-    def frame(vp_in):
+    def frame(scene_in, vp_in):
         gbuf = add_task(
             "GbufferPass",
             lambda: render_gbuffer(
-                scene, vp_in, vp_in, jnp.zeros(2, jnp.float32),
+                scene_in, vp_in, vp_in, jnp.zeros(2, jnp.float32),
                 width=cfg.width, height=cfg.height,
                 use_pallas=not args.no_pallas, interpret=interpret,
             ),
@@ -119,20 +119,21 @@ def main(argv=None):
         )
         return gbuf, color
 
-    graph = PassGraph()
-    with graph.recording():
-        gbuf, color = frame(jnp.asarray(vp))
     if args.dump_dag:
+        # Abstract trace: records the pass DAG without any device work.
+        graph = PassGraph()
+        with graph.recording():
+            jax.eval_shape(frame, scene, jnp.zeros((4, 4), jnp.float32))
         print(graph.dump())
 
     jitted = jax.jit(frame)
     t0 = time.perf_counter()
-    gbuf, color = jax.block_until_ready(jitted(jnp.asarray(vp)))
+    gbuf, color = jax.block_until_ready(jitted(scene, jnp.asarray(vp)))
     compile_s = time.perf_counter() - t0
     times = []
     for _ in range(max(args.frames - 1, 0)):
         t0 = time.perf_counter()
-        gbuf, color = jax.block_until_ready(jitted(jnp.asarray(vp)))
+        gbuf, color = jax.block_until_ready(jitted(scene, jnp.asarray(vp)))
         times.append(time.perf_counter() - t0)
     covered = float(np.mean(np.asarray(gbuf.depth) < 1.0))
     print(f"coverage: {covered:.3f}  compile+first: {compile_s*1e3:.1f} ms")
