@@ -44,7 +44,7 @@ class SSRConfig:
     max_roughness: float = 1.0   # settings.max_roughness
     glossy_roughness: float = 0.2
     lut_size: int = 1024         # preintegrated PDF / BRDF LUT resolution
-    halton_samples: int = 64     # halton table length (advanced_ssr.cpp:8-34)
+    halton_samples: int = 128    # HALTON_SEQ_SIZE (advanced_ssr.cpp:6)
     accumulate: bool = True
     bilateral_filter: bool = True
     normalize_filter: bool = True

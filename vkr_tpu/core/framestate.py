@@ -32,6 +32,7 @@ class FrameState:
 
     FIELDS = (
         "prev_depth",
+        "prev_depth_half",
         "taa_history",
         "gtao_accum",
         "gtao_prev",
@@ -51,6 +52,7 @@ class FrameState:
         hh, hw = height // 2, width // 2
         return FrameState(
             prev_depth=jnp.ones((height, width), jnp.float32),
+            prev_depth_half=jnp.ones((hh, hw), jnp.float32),
             taa_history=jnp.zeros((height, width, 3), jnp.float32),
             gtao_accum=jnp.zeros((hh, hw, 2), jnp.float32),
             gtao_prev=jnp.zeros((hh, hw), jnp.float32),

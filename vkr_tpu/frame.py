@@ -1,0 +1,263 @@
+"""The full frame function — the reference's main loop as one pure pass DAG.
+
+Mirrors main.cpp:338-402 frame order: G-buffer raster -> hi-Z downsample ->
+SSR (trace/filter/blur) -> GTAO (main/filter/accumulate) -> deferred
+shading -> TAA resolve. The reference's end-of-frame image remaps
+(main.cpp:416-420) become the returned FrameState; jit with
+donate_argnums on the state reproduces the zero-copy swap.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vkr_tpu.config import RenderConfig
+from vkr_tpu.core.framestate import FrameState
+from vkr_tpu.core.graph import add_task
+from vkr_tpu.mathlib.brdf import halton23_table
+from vkr_tpu.mathlib.transforms import (
+    inverse_rigid,
+    normal_matrix,
+    perspective,
+    taa_jitter_sequence,
+)
+from vkr_tpu.passes import downsample as _down
+from vkr_tpu.passes import gtao as _gtao
+from vkr_tpu.passes import ssr as _ssr
+from vkr_tpu.passes import taa as _taa
+from vkr_tpu.passes.gbuffer import SceneDevice, render_gbuffer
+from vkr_tpu.passes.shading import ShadingParams, deferred_shading
+
+
+class SSRResources(NamedTuple):
+    """Startup-preintegrated LUTs (advanced_ssr.cpp:95-136) + halton table."""
+
+    pdf_lut: jnp.ndarray    # (S, S)
+    brdf_lut: jnp.ndarray   # (S, S, 2)
+    halton: jnp.ndarray     # (128, 2)
+
+
+def build_ssr_resources(lut_size: int = 1024) -> SSRResources:
+    return SSRResources(
+        pdf_lut=jax.jit(_ssr.preintegrate_pdf,
+                        static_argnums=0)(lut_size),
+        brdf_lut=jax.jit(_ssr.preintegrate_brdf,
+                         static_argnums=0)(lut_size),
+        halton=jnp.asarray(halton23_table(_ssr.HALTON_SEQ_SIZE)),
+    )
+
+
+class CameraFrame(NamedTuple):
+    """Per-frame camera matrices, host-computed (DrawTAAParams analog,
+    scene_renderer.hpp:26-33)."""
+
+    view: jnp.ndarray        # (4,4)
+    prev_view: jnp.ndarray
+    mvp: jnp.ndarray         # proj @ view, unjittered
+    prev_mvp: jnp.ndarray
+    jitter: jnp.ndarray      # (2,) NDC offset
+
+
+def camera_frame(cfg: RenderConfig, view, prev_view, frame_index: int,
+                 use_jitter: bool = True) -> CameraFrame:
+    proj = perspective(cfg.camera.fovy, cfg.aspect, cfg.camera.znear,
+                       cfg.camera.zfar)
+    seq = taa_jitter_sequence(cfg.width, cfg.height)
+    jitter = seq[frame_index % 4] if (use_jitter and cfg.taa.jitter) else (
+        np.zeros(2, np.float32)
+    )
+    return CameraFrame(
+        view=jnp.asarray(view),
+        prev_view=jnp.asarray(prev_view),
+        mvp=jnp.asarray(proj @ view),
+        prev_mvp=jnp.asarray(proj @ prev_view),
+        jitter=jnp.asarray(jitter),
+    )
+
+
+def render_frame(
+    scene: SceneDevice,
+    state: FrameState,
+    cam: CameraFrame,
+    ssr_res: SSRResources,
+    cfg: RenderConfig,
+    *,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """One frame: returns (final color (H, W, 3), new FrameState, aux dict).
+
+    cfg must be static under jit (hash by id: close over it or mark
+    static).
+    """
+    h, w = cfg.height, cfg.width
+    inv_view = _inv4(cam.view)
+    prev_inv_view = _inv4(cam.prev_view)
+    nm = _normal_mat4(cam.view)
+
+    gbuf = add_task(
+        "GbufferPass",
+        lambda: render_gbuffer(
+            scene, cam.mvp, cam.prev_mvp, cam.jitter,
+            width=w, height=h, quantize=cfg.quantize_formats,
+            use_pallas=use_pallas, interpret=interpret,
+        ),
+    )
+
+    hiz = add_task(
+        "DownsampleGbuffer",
+        lambda: _down.build_hiz(gbuf.depth, gbuf.normal, gbuf.velocity),
+    )
+    depth_half = hiz.mips[0]
+
+    # ---- SSR (ssr.run: trace -> filter -> blur) ----
+    if cfg.enable_ssr:
+        sp = _ssr.SSRParams(
+            normal_mat=nm, fovy=cfg.camera.fovy, aspect=cfg.aspect,
+            znear=cfg.camera.znear, zfar=cfg.camera.zfar,
+            max_roughness=cfg.ssr.max_roughness,
+        )
+        pyr = _ssr.pack_pyramid(hiz.mips)
+        rays, ssr_occ = add_task(
+            "SSSR_trace",
+            lambda: _ssr.ssr_trace(
+                pyr, hiz.normal_half, gbuf.material, ssr_res.pdf_lut, sp,
+                state.frame_index, ssr_res.halton,
+                max_iterations=cfg.ssr.max_iterations,
+            ),
+        )
+        reflections = add_task(
+            "SSSR_filter",
+            lambda: _ssr.ssr_filter(
+                rays, depth_half, gbuf.albedo, hiz.normal_half,
+                gbuf.material, sp,
+                flags_normalize=cfg.ssr.normalize_filter,
+                flags_bilateral=cfg.ssr.bilateral_filter,
+            ),
+        )
+        blur_params = _ssr.SSRBlurParams(
+            inverse_camera=inv_view, prev_inverse_camera=prev_inv_view,
+            fovy=cfg.camera.fovy, aspect=cfg.aspect,
+            znear=cfg.camera.znear, zfar=cfg.camera.zfar,
+            max_roughness=cfg.ssr.max_roughness,
+            accumulate=cfg.ssr.accumulate,
+        )
+        ssr_blurred = add_task(
+            "SSSR_blur",
+            lambda: _ssr.ssr_blur(
+                reflections, depth_half, hiz.normal_half, gbuf.material,
+                state.ssr_history, hiz.velocity_half,
+                state.prev_depth_half, blur_params,
+            ),
+        )
+    else:
+        ssr_blurred = jnp.zeros((h // 2, w // 2, 3), jnp.float32)
+
+    # ---- GTAO (main -> filter -> accumulate) ----
+    if cfg.enable_gtao:
+        gp = _gtao.GTAOParams(
+            normal_mat=nm, fovy=cfg.camera.fovy, aspect=cfg.aspect,
+            znear=cfg.camera.znear, zfar=cfg.camera.zfar,
+        )
+        base_angle = _gtao.frame_base_angle(state.frame_index)
+        dirs = 2 if cfg.gtao.two_directions else 1
+        gtao_fn = (
+            _gtao.gtao_main_dense if use_pallas else _gtao.gtao_main_exact
+        )
+        raw_ao = add_task(
+            "GTAO_main",
+            lambda: gtao_fn(depth_half, hiz.normal_half, gp, base_angle,
+                            dirs),
+        )
+        filtered_ao = add_task(
+            "GTAO_filter",
+            lambda: _gtao.gtao_filter(depth_half, raw_ao,
+                                      cfg.camera.znear, cfg.camera.zfar),
+        )
+        ap = _gtao.GTAOAccumParams(
+            inverse_camera=inv_view, prev_inverse_camera=prev_inv_view,
+            mvp=cam.mvp, fovy=cfg.camera.fovy, aspect=cfg.aspect,
+            znear=cfg.camera.znear, zfar=cfg.camera.zfar,
+        )
+        gtao_accum = add_task(
+            "GTAO_accumulate",
+            lambda: _gtao.gtao_accumulate(
+                depth_half, state.prev_depth_half, filtered_ao,
+                hiz.velocity_half, state.gtao_accum, ap,
+                state.frame_index == 0,
+            ),
+        )
+        occlusion = gtao_accum[..., 0]
+    else:
+        gtao_accum = state.gtao_accum
+        occlusion = jnp.ones((h // 2, w // 2), jnp.float32)
+
+    # ---- Deferred shading ----
+    shade_params = ShadingParams(
+        inverse_camera=inv_view, fovy=cfg.camera.fovy, aspect=cfg.aspect,
+        znear=cfg.camera.znear, zfar=cfg.camera.zfar,
+        show_ao=cfg.show_ao_only,
+    )
+    color = add_task(
+        "DeferedShading",
+        lambda: deferred_shading(
+            gbuf, shade_params,
+            occlusion=occlusion,
+            reflections=ssr_blurred,
+            brdf_lut=ssr_res.brdf_lut,
+            depth_half=depth_half,
+        ),
+    )
+
+    # ---- TAA ----
+    if cfg.enable_taa:
+        tp = _taa.TAAParams(
+            inverse_camera=inv_view, prev_inverse_camera=prev_inv_view,
+            fovy=cfg.camera.fovy, aspect=cfg.aspect,
+            znear=cfg.camera.znear, zfar=cfg.camera.zfar,
+        )
+        final = add_task(
+            "TAA",
+            lambda: _taa.taa_resolve(
+                state.taa_history, state.prev_depth, gbuf.depth,
+                gbuf.velocity, color, tp,
+            ),
+        )
+    else:
+        final = color
+
+    # ---- history remaps (main.cpp:416-420) ----
+    new_state = state.replace(
+        prev_depth=gbuf.depth,
+        prev_depth_half=depth_half,
+        taa_history=final,
+        gtao_accum=gtao_accum,
+        gtao_prev=occlusion,
+        ssr_history=ssr_blurred,
+        prev_mvp=cam.mvp,
+        frame_index=state.frame_index + 1,
+    )
+    aux = {"gbuffer": gbuf, "hiz_depth": depth_half,
+           "ssr": ssr_blurred, "ao": occlusion}
+    return final, new_state, aux
+
+
+def _inv4(view):
+    """Inverse of a rigid view matrix, traced-compatible."""
+    r = view[:3, :3]
+    t = view[:3, 3]
+    top = jnp.concatenate([r.T, (-r.T @ t)[:, None]], axis=1)
+    return jnp.concatenate(
+        [top, jnp.asarray([[0.0, 0.0, 0.0, 1.0]])], axis=0
+    )
+
+
+def _normal_mat4(view):
+    """transpose(inverse(view)) for a rigid view = rotation part unchanged,
+    as a 4x4 (main.cpp:377)."""
+    inv = _inv4(view)
+    return inv.T

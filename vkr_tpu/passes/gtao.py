@@ -1,0 +1,351 @@
+"""GTAO — ground-truth ambient occlusion (horizon-based), half resolution.
+
+Reference: src/gtao.cpp + shaders/gtao/{main,filter,accum}.comp. The default
+path is gtao_camera_space (main.comp:195-225): per pixel, march the half-res
+depth along a per-pixel screen-space direction (deterministic 4x4 dither
+pattern + per-frame angle offset, main.comp:292-294), track the max horizon
+cosine with a thickness break (MAX_THIKNESS=0.1), then integrate the GTAO
+arc term; then a 4x4 depth-bilateral filter and a velocity-reprojected
+temporal accumulation with world-space validation.
+
+Two implementations of the main pass:
+  * gtao_main_exact — faithful gather-based port (bilinear depth taps at
+    fractional uv). Slow on TPU (XLA gather is scalarized); the oracle.
+  * gtao_main_dense — TPU-native: 16 direction classes x 16 integer-pixel
+    march steps, each step a dynamic-slice shift of the padded depth image
+    (dense, zero gathers). Sample placement differs from the reference
+    (integer-pixel steps up to the radius instead of 16 fractional steps
+    across it — at least as dense for radii <= 16 px, the reference clamp);
+    AO quality is equivalent, noise pattern matches the same dither classes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vkr_tpu.mathlib.octahedral import decode_normal
+from vkr_tpu.mathlib.projection import (
+    linearize_depth,
+    reconstruct_view_vec,
+)
+from vkr_tpu.passes.sampling import bilinear_sample, screen_uv_grid
+
+PI = math.pi
+MAX_THICKNESS = 0.1   # main.comp MAX_THIKNESS
+N_STEPS = 16          # find_horizon(..., 16, w0) in gtao_camera_space
+N_CLASSES = 16        # 4x4 dither pattern period
+
+# Per-frame angle offsets (gtao.cpp:109-111). The reference adds libc
+# rand()-0.5; we use a deterministic hash of the frame index instead.
+ANGLE_OFFSETS = jnp.asarray(
+    [60.0, 300.0, 180.0, 240.0, 120.0, 0.0,
+     300.0, 60.0, 180.0, 120.0, 240.0, 0.0], jnp.float32
+) / 360.0
+
+
+def frame_base_angle(frame_index):
+    """base_angle = table[frame % 12] + (hash-random in [-0.5, 0.5))."""
+    offset = ANGLE_OFFSETS[frame_index % 12]
+    h = frame_index.astype(jnp.uint32) * jnp.uint32(2654435761) + jnp.uint32(
+        1013904223
+    )
+    rnd = (h >> 8).astype(jnp.float32) / float(1 << 24) - 0.5
+    return offset + rnd
+
+
+def gtao_direction_pattern(height: int, width: int):
+    """main.comp:292-294: (1/16) * ((((x+y)&3)<<2) + (x&3)), per pixel."""
+    x = jnp.arange(width, dtype=jnp.int32)[None, :]
+    y = jnp.arange(height, dtype=jnp.int32)[:, None]
+    cls = ((((x + y) & 3) << 2) + (x & 3))
+    return cls  # int class in [0, 16); pattern value = cls / 16
+
+
+class GTAOParams(NamedTuple):
+    normal_mat: jnp.ndarray   # (4,4) world->view normal matrix
+    fovy: float
+    aspect: float
+    znear: float
+    zfar: float
+
+
+def _arc_terms(uv, frag_depth, camera_pos, w0, camera_normal, dir_xy,
+               params):
+    """Slice-projected normal terms shared by both modes
+    (gtao_camera_space, main.comp:203-211)."""
+    sample_end = reconstruct_view_vec(
+        uv + dir_xy, frag_depth, params.fovy, params.aspect,
+        params.znear, params.zfar,
+    )
+    slice_n = jnp.cross(w0, -sample_end)
+    slice_n = slice_n / jnp.linalg.norm(slice_n, axis=-1,
+                                        keepdims=True).clip(1e-20)
+    n_proj = camera_normal - (
+        (camera_normal * slice_n).sum(-1, keepdims=True) * slice_n
+    )
+    n_proj_len = jnp.linalg.norm(n_proj, axis=-1).clip(1e-20)
+    x_axis = -jnp.cross(slice_n, w0)
+    x_axis = x_axis / jnp.linalg.norm(x_axis, axis=-1,
+                                      keepdims=True).clip(1e-20)
+    cos_n = ((n_proj / n_proj_len[..., None]) * x_axis).sum(-1)
+    n_angle = PI / 2.0 - jnp.arccos(jnp.clip(cos_n, -1.0, 1.0))
+    return n_proj_len, n_angle
+
+
+def _arc_integral(h_cos, n_proj_len, n_angle):
+    h = jnp.arccos(jnp.clip(h_cos, -1.0, 1.0))
+    h = jnp.minimum(n_angle + jnp.minimum(h - n_angle, PI / 2.0), h)
+    return n_proj_len * 0.25 * jnp.maximum(
+        -jnp.cos(2.0 * h - n_angle) + jnp.cos(n_angle)
+        + 2.0 * h * jnp.sin(n_angle), 0.0,
+    )
+
+
+def _common(depth_half, normal_half, params):
+    h, w = depth_half.shape
+    uv = screen_uv_grid(h, w)
+    camera_pos = reconstruct_view_vec(
+        uv, depth_half, params.fovy, params.aspect, params.znear,
+        params.zfar,
+    )
+    w0 = -camera_pos / jnp.linalg.norm(camera_pos, axis=-1,
+                                       keepdims=True).clip(1e-20)
+    nm = jnp.asarray(params.normal_mat)
+    world_n = decode_normal(normal_half)
+    cam_n = world_n @ nm[:3, :3].T
+    cam_n = cam_n / jnp.linalg.norm(cam_n, axis=-1,
+                                    keepdims=True).clip(1e-20)
+    # dir_radius in pixels: min(100/|campos|, 16) (gtao_camera_space)
+    radius_px = jnp.minimum(
+        100.0 / jnp.linalg.norm(camera_pos, axis=-1).clip(1e-20), 16.0
+    )
+    return uv, camera_pos, w0, cam_n, radius_px
+
+
+def gtao_main_exact(depth_half, normal_half, params: GTAOParams,
+                    base_angle, dirs_count: int = 1):
+    """Faithful gather-based port of gtao_camera_space."""
+    h, w = depth_half.shape
+    uv, camera_pos, w0, cam_n, radius_px = _common(
+        depth_half, normal_half, params
+    )
+    cls = gtao_direction_pattern(h, w).astype(jnp.float32) / 16.0
+    size = jnp.asarray([w, h], jnp.float32)
+
+    total = jnp.zeros((h, w), jnp.float32)
+    for d in range(dirs_count):
+        angle = 2.0 * PI * (cls + base_angle + d / dirs_count)
+        dir_uv = (
+            radius_px[..., None]
+            * jnp.stack([jnp.cos(angle), jnp.sin(angle)], -1) / size
+        )
+        n_proj_len, n_angle = _arc_terms(
+            uv, depth_half, camera_pos, w0, cam_n, dir_uv, params
+        )
+
+        def step(i, carry):
+            h_cos, prev_z, alive = carry
+            tc = uv + (i.astype(jnp.float32) / N_STEPS) * dir_uv
+            sd = bilinear_sample(depth_half, tc)
+            sp = reconstruct_view_vec(tc, sd, params.fovy, params.aspect,
+                                      params.znear, params.zfar)
+            alive = alive & ~(sp[..., 2] > prev_z + MAX_THICKNESS)
+            prev_z = jnp.where(alive, sp[..., 2], prev_z)
+            off = sp - camera_pos
+            s_cos = (w0 * off).sum(-1) / jnp.linalg.norm(
+                off, axis=-1).clip(1e-20)
+            h_cos = jnp.where(alive, jnp.maximum(h_cos, s_cos), h_cos)
+            return h_cos, prev_z, alive
+
+        h_cos, _, _ = jax.lax.fori_loop(
+            1, N_STEPS + 1, step,
+            (jnp.full((h, w), -1.0), camera_pos[..., 2],
+             jnp.ones((h, w), bool)),
+        )
+        total = total + _arc_integral(h_cos, n_proj_len, n_angle)
+
+    ao = 2.0 * total / dirs_count
+    return jnp.where(depth_half >= 1.0, 0.0, ao)
+
+
+def gtao_main_dense(depth_half, normal_half, params: GTAOParams,
+                    base_angle, dirs_count: int = 1):
+    """TPU-native dense GTAO: per direction class, march integer-pixel
+    offsets via dynamic slices of the padded depth image."""
+    h, w = depth_half.shape
+    uv, camera_pos, w0, cam_n, radius_px = _common(
+        depth_half, normal_half, params
+    )
+    cls_img = gtao_direction_pattern(h, w)
+    size = jnp.asarray([w, h], jnp.float32)
+
+    pad = N_STEPS
+    dep_pad = jnp.pad(depth_half, pad, mode="edge")
+
+    total = jnp.zeros((h, w), jnp.float32)
+    for d in range(dirs_count):
+        def class_body(c, ao_d, d=d):
+            angle = 2.0 * PI * (
+                c.astype(jnp.float32) / 16.0 + base_angle + d / dirs_count
+            )
+            ca, sa = jnp.cos(angle), jnp.sin(angle)
+            dir_uv = radius_px[..., None] * jnp.stack(
+                [jnp.broadcast_to(ca, (h, w)),
+                 jnp.broadcast_to(sa, (h, w))], -1) / size
+            n_proj_len, n_angle = _arc_terms(
+                uv, depth_half, camera_pos, w0, cam_n, dir_uv, params
+            )
+
+            def step(j, carry, ca=ca, sa=sa):
+                h_cos, prev_z, alive = carry
+                jf = j.astype(jnp.float32)
+                ox = jnp.round(jf * ca).astype(jnp.int32)
+                oy = jnp.round(jf * sa).astype(jnp.int32)
+                sd = jax.lax.dynamic_slice(
+                    dep_pad, (pad + oy, pad + ox), (h, w)
+                )
+                tc = uv + jnp.stack(
+                    [jnp.broadcast_to(ox.astype(jnp.float32), (h, w)),
+                     jnp.broadcast_to(oy.astype(jnp.float32), (h, w))],
+                    -1,
+                ) / size
+                sp = reconstruct_view_vec(
+                    tc, sd, params.fovy, params.aspect, params.znear,
+                    params.zfar,
+                )
+                in_r = jf <= radius_px
+                step_alive = alive & in_r
+                broken = sp[..., 2] > prev_z + MAX_THICKNESS
+                step_alive = step_alive & ~broken
+                alive = alive & ~(in_r & broken)
+                prev_z = jnp.where(step_alive, sp[..., 2], prev_z)
+                off = sp - camera_pos
+                s_cos = (w0 * off).sum(-1) / jnp.linalg.norm(
+                    off, axis=-1).clip(1e-20)
+                h_cos = jnp.where(step_alive,
+                                  jnp.maximum(h_cos, s_cos), h_cos)
+                return h_cos, prev_z, alive
+
+            h_cos, _, _ = jax.lax.fori_loop(
+                1, N_STEPS + 1, step,
+                (jnp.full((h, w), -1.0), camera_pos[..., 2],
+                 jnp.ones((h, w), bool)),
+            )
+            arc = _arc_integral(h_cos, n_proj_len, n_angle)
+            return jnp.where(cls_img == c, arc, ao_d)
+
+        ao_d = jax.lax.fori_loop(
+            0, N_CLASSES, class_body, jnp.zeros((h, w), jnp.float32)
+        )
+        total = total + ao_d
+
+    ao = 2.0 * total / dirs_count
+    return jnp.where(depth_half >= 1.0, 0.0, ao)
+
+
+def gtao_filter(depth_half, raw_ao, znear: float, zfar: float):
+    """4x4 depth-bilateral average (filter.comp:32-50): offsets -2..+1,
+    weight = max(0, 1 - 5|zs - z| / |z|)."""
+    z = linearize_depth(depth_half, znear, zfar)
+    pad_d = jnp.pad(depth_half, 2, mode="edge")
+    pad_ao = jnp.pad(raw_ao, 2, mode="edge")
+    h, w = depth_half.shape
+
+    weight_sum = jnp.zeros((h, w), jnp.float32)
+    ao = jnp.zeros((h, w), jnp.float32)
+    for dx in range(-2, 2):
+        for dy in range(-2, 2):
+            zs = linearize_depth(
+                pad_d[2 + dy : 2 + dy + h, 2 + dx : 2 + dx + w],
+                znear, zfar,
+            )
+            wgt = jnp.maximum(
+                0.0, 1.0 - 5.0 * jnp.abs(zs - z) / jnp.abs(z)
+            )
+            weight_sum = weight_sum + wgt
+            ao = ao + wgt * pad_ao[2 + dy : 2 + dy + h,
+                                   2 + dx : 2 + dx + w]
+    return ao / jnp.maximum(weight_sum, 1e-20)
+
+
+class GTAOAccumParams(NamedTuple):
+    inverse_camera: jnp.ndarray       # (4,4)
+    prev_inverse_camera: jnp.ndarray  # (4,4)
+    mvp: jnp.ndarray                  # (4,4) current unjittered
+    fovy: float
+    aspect: float
+    znear: float
+    zfar: float
+
+
+def gtao_accumulate(depth_half, prev_depth_half, filtered_ao,
+                    velocity_half, history, params: GTAOAccumParams,
+                    clear_history):
+    """Temporal accumulation (accum.comp): velocity reprojection validated
+    by world-space reconstruction; running mean with sample count in .y.
+
+    history: (h, w, 2) = (ao, samples/255). Returns same shape.
+    """
+    h, w = depth_half.shape
+    uv = screen_uv_grid(h, w)
+    ts = jnp.asarray([w, h], jnp.float32)
+
+    velocity = velocity_half
+    prev_uv = uv + velocity
+    in_bounds = (
+        (prev_uv[..., 0] >= 0.0) & (prev_uv[..., 0] <= 1.0)
+        & (prev_uv[..., 1] >= 0.0) & (prev_uv[..., 1] <= 1.0)
+    )
+
+    def world_pos(depth_tex, inv_cam, suv, sample):
+        d = bilinear_sample(depth_tex, suv) if sample else depth_tex
+        v_cam = reconstruct_view_vec(
+            suv, d, params.fovy, params.aspect, params.znear, params.zfar
+        )
+        m = jnp.asarray(inv_cam)
+        return v_cam @ m[:3, :3].T + m[:3, 3][None, None, :]
+
+    w_prev = world_pos(prev_depth_half, params.prev_inverse_camera,
+                       prev_uv, True)
+    mvp = jnp.asarray(params.mvp)
+    prev_h = jnp.concatenate(
+        [w_prev, jnp.ones((h, w, 1), jnp.float32)], -1
+    ) @ mvp.T
+    prev_ndc = prev_h[..., :3] / jnp.where(
+        jnp.abs(prev_h[..., 3:4]) < 1e-20, 1e-20, prev_h[..., 3:4]
+    )
+    prev_world_uv = 0.5 * prev_ndc[..., :2] + 0.5
+    delta = jnp.abs(prev_world_uv - uv) * ts
+
+    cur_z = linearize_depth(depth_half, params.znear, params.zfar)
+    prev_z = linearize_depth(prev_ndc[..., 2], params.znear, params.zfar)
+    depth_err = jnp.abs(prev_z - cur_z)
+
+    vel_delta = jnp.maximum(
+        jnp.abs(velocity[..., 0]) * w, jnp.abs(velocity[..., 1]) * h
+    )
+    error = 0.1 * vel_delta + depth_err
+    valid_samples = jnp.clip(1.0 - error, 0.8, 1.0)
+    reprojected = (
+        in_bounds
+        & (jnp.maximum(delta[..., 0], delta[..., 1]) <= 2.0)
+        & (depth_err < 0.2)
+        & ~clear_history
+    )
+
+    accumulated = bilinear_sample(history, prev_uv)
+    samples = 255.0 * accumulated[..., 1] * valid_samples
+    new_ao = filtered_ao
+    acc_ao = (accumulated[..., 0] * samples + new_ao) / (samples + 1.0)
+    samples_next = samples + 1.0
+    samples_next = jnp.where(samples_next > 255.0, 100.0, samples_next)
+
+    out_ao = jnp.where(reprojected, acc_ao, new_ao)
+    out_samples = jnp.where(reprojected, samples_next, 1.0)
+    return jnp.stack(
+        [jnp.clip(out_ao, 0.0, 1.0), out_samples / 255.0], axis=-1
+    )

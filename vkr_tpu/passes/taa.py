@@ -1,0 +1,75 @@
+"""TAA resolve pass.
+
+Reference: src/taa.cpp + shaders/taa/resolve.comp. The camera jitters
+through the fixed 4-point sequence (main.cpp:93-108); resolve reprojects
+uv + velocity, clamps the history sample to the min/max of its 4 immediate
+neighbors, blends mix(history, current, 0.1), and validates reprojection by
+world-space position error against a distance-scaled epsilon.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from vkr_tpu.mathlib.projection import reconstruct_view_vec
+from vkr_tpu.passes.sampling import bilinear_sample, screen_uv_grid
+
+
+class TAAParams(NamedTuple):
+    inverse_camera: jnp.ndarray
+    prev_inverse_camera: jnp.ndarray
+    fovy: float
+    aspect: float
+    znear: float
+    zfar: float
+
+
+def taa_resolve(
+    history_color,   # (H, W, 3)
+    history_depth,   # (H, W) prev frame depth
+    current_depth,   # (H, W)
+    velocity,        # (H, W, 2)
+    current_color,   # (H, W, 3)
+    params: TAAParams,
+):
+    h, w = current_depth.shape
+    uv = screen_uv_grid(h, w)
+
+    delta_len = jnp.linalg.norm(velocity, axis=-1)
+    prev_uv = uv + velocity
+    in_bounds = (
+        (prev_uv[..., 0] >= 0) & (prev_uv[..., 0] <= 1)
+        & (prev_uv[..., 1] >= 0) & (prev_uv[..., 1] <= 1)
+    )
+
+    history = bilinear_sample(history_color, prev_uv)
+    c0 = bilinear_sample(history_color, prev_uv, jnp.asarray([1, 0]))
+    c1 = bilinear_sample(history_color, prev_uv, jnp.asarray([0, 1]))
+    c2 = bilinear_sample(history_color, prev_uv, jnp.asarray([-1, 0]))
+    c3 = bilinear_sample(history_color, prev_uv, jnp.asarray([0, -1]))
+    color_min = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3))
+    color_max = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
+    history = jnp.clip(history, color_min, color_max)
+
+    blended = history + (current_color - history) * 0.1
+
+    def world(dtex, inv_cam, suv, sample=True):
+        d = bilinear_sample(dtex, suv) if sample else dtex
+        vc = reconstruct_view_vec(suv, d, params.fovy, params.aspect,
+                                  params.znear, params.zfar)
+        m = jnp.asarray(inv_cam)
+        return vc @ m[:3, :3].T + m[:3, 3][None, None, :]
+
+    w_cur = world(current_depth, params.inverse_camera, uv)
+    w_prev = world(history_depth, params.prev_inverse_camera, prev_uv)
+    cam = jnp.asarray(params.inverse_camera)[:3, 3]
+    error = jnp.linalg.norm(w_cur - w_prev, axis=-1)
+    pixel_dist = jnp.linalg.norm(w_cur - cam[None, None, :], axis=-1)
+    reprojected = in_bounds & (
+        (delta_len < 0.005)
+        | (error < jnp.clip(0.1 * pixel_dist * delta_len, 0.01, 0.2))
+    )
+
+    return jnp.where(reprojected[..., None], blended, current_color)
