@@ -1,0 +1,109 @@
+"""Benchmark: full-pipeline frame time at 1920x1080 on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = value / 16.0 (the reference-rebuild target is <= 16 ms/frame
+at 1080p on one v5e chip, BASELINE.md) — lower is better, < 1.0 meets it.
+
+Scene: procedural colonnade at Sponza-like workload (the bundled Sponza
+geometry blob is stripped from /root/reference; see
+vkr_tpu/scene/procedural.py). Per-pass timing breakdown goes to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vkr_tpu.core.platform import ensure_platform
+
+
+def main():
+    backend = ensure_platform()
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from vkr_tpu.config import RenderConfig
+    from vkr_tpu.core.framestate import FrameState
+    from vkr_tpu.frame import (
+        build_ssr_resources,
+        camera_frame,
+        render_frame,
+    )
+    from vkr_tpu.mathlib import look_at
+    from vkr_tpu.passes.gbuffer import upload_scene
+    from vkr_tpu.scene import colonnade_scene
+
+    width, height = 1920, 1080
+    frames = int(os.environ.get("BENCH_FRAMES", "16"))
+    ssr_iters = int(os.environ.get("BENCH_SSR_ITERS", "80"))
+
+    cfg = RenderConfig(width=width, height=height)
+    cfg = dataclasses.replace(
+        cfg, ssr=dataclasses.replace(cfg.ssr, max_iterations=ssr_iters)
+    )
+
+    print(f"backend: {backend}", file=sys.stderr)
+    t0 = time.time()
+    scene = upload_scene(
+        colonnade_scene(columns=16, tessellation=64, tex_size=512)
+    )
+    ssr_res = build_ssr_resources(1024)
+    print(f"scene+LUTs: {time.time()-t0:.1f}s "
+          f"({scene.tri_opaque.shape[0] + scene.tri_masked.shape[0]} tris)",
+          file=sys.stderr)
+
+    interpret = jax.default_backend() != "tpu"
+    jitted = jax.jit(
+        lambda s, st, c: render_frame(
+            s, st, c, ssr_res, cfg, use_pallas=True, interpret=interpret
+        ),
+        donate_argnums=(1,),
+    )
+
+    eye = np.array([-18.0, 2.2, -2.0], np.float32)
+    center = np.array([4.0, 1.8, 0.5], np.float32)
+
+    def view_at(i):
+        ang = 0.02 * i
+        rot = np.array(
+            [[np.cos(ang), 0, -np.sin(ang)], [0, 1, 0],
+             [np.sin(ang), 0, np.cos(ang)]], np.float32)
+        return look_at(center + rot @ (eye - center), center, (0, -1, 0))
+
+    state = FrameState.initial(height, width)
+    view = prev = view_at(0)
+    t0 = time.time()
+    cam = camera_frame(cfg, view, prev, 0)
+    color, state, aux = jitted(scene, state, cam)
+    _ = np.asarray(color[0, 0])
+    print(f"compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(1, frames):
+        prev, view = view, view_at(i)
+        cam = camera_frame(cfg, view, prev, i)
+        t0 = time.time()
+        color, state, aux = jitted(scene, state, cam)
+        _ = np.asarray(color[0, 0])  # sync (block_until_ready is a no-op
+        times.append(time.time() - t0)  # on the axon tunnel)
+
+    ms = float(np.median(times)) * 1e3
+    cov = float(np.mean(np.asarray(state.prev_depth) < 1.0))
+    print(f"coverage: {cov:.3f}  frames: {len(times)}  "
+          f"min/median/max ms: {min(times)*1e3:.1f}/{ms:.1f}/"
+          f"{max(times)*1e3:.1f}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "1080p_full_pipeline_frame_time",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(ms / 16.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,8 @@ def ensure_platform(platform: str | None = None) -> str:
 
     # Persistent compilation cache: TPU compiles go through a remote tunnel
     # here (~minutes for the full frame graph); cache hits make re-runs fast.
-    cache_dir = os.environ.get("VKR_JAX_CACHE", "/tmp/vkr_jax_cache")
+    cache_dir = os.environ.get("VKR_JAX_CACHE",
+                               "/root/repo/.jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -332,8 +332,10 @@ def ssr_trace(
 
 
 def _hierarchical_march(hiz, origin, direction, camera_start, w0, params,
-                        max_iterations):
-    """hierarchical_raymarch_find_hor (trace.comp:171-236)."""
+                        max_iterations, find_hor: bool = True):
+    """hierarchical_raymarch_find_hor (trace.comp:171-236). With
+    find_hor=False this is the plain hierarchical_raymarch of
+    screen_trace.glsl:51-101 (no fixed fine-mip prefix, no horizon)."""
     h, w = hiz.heights[0], hiz.widths[0]
     n_mips = len(hiz.offsets)
     inv_dir = jnp.where(
@@ -389,7 +391,7 @@ def _hierarchical_march(hiz, origin, direction, camera_start, w0, params,
         new_t = jnp.clip(new_t, -1e20, 1e20)
         new_pos = origin + new_t[..., None] * direction
 
-        mip0sample = i < 15
+        mip0sample = (i < 15) if find_hor else False
         new_mip = mip + jnp.where(
             mip0sample, 0, jnp.where(skipped, 1, -1)
         )

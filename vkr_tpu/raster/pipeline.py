@@ -46,14 +46,19 @@ def rasterize(
     jitter=None,
     use_pallas: bool = True,
     interpret: bool = False,
+    full_height: Optional[int] = None,
+    y_offset=None,
 ) -> VisibilityBuffer:
     """Rasterize `indices` (T, 3) over clip-space positions `clip` (V, 4).
 
     jitter: optional (2,) NDC offset applied to coverage only (TAA).
     use_pallas=False falls back to the brute-force jnp oracle (tests).
+    full_height/y_offset: band-viewport mode (multi-chip pixel sharding).
     """
     corners, weights, src, valid = _setup.clip_near_triangles(clip, indices)
-    setup = _setup.triangle_setup(corners, valid, width, height, jitter)
+    setup = _setup.triangle_setup(corners, valid, width, height, jitter,
+                                  full_height=full_height,
+                                  y_offset=y_offset)
 
     if pair_capacity is None:
         # Headroom for small scenes whose few triangles span many tiles.

@@ -163,13 +163,18 @@ _FILL_EPS = 1.0 / 4096.0  # sub-pixel bias excluding non-top-left edges
 
 
 def triangle_setup(
-    corners, valid, width: int, height: int, jitter=None
+    corners, valid, width: int, height: int, jitter=None,
+    full_height: int | None = None, y_offset=None,
 ) -> TriangleSetup:
     """Build edge equations from clipped corner positions (T, 3, 4).
 
     Applies the TAA jitter to raster coverage only (the reference adds
     jitter to gl_Position but passes unjittered clip down for velocity,
     opaque_taa.vert:40-43).
+
+    full_height/y_offset: band-viewport rendering for multi-chip pixel-band
+    sharding (parallel/sharding.py) — screen y is computed against the full
+    framebuffer height, then translated into the local band.
     """
     w = corners[..., 3]
     inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-20, 1e-20, w)
@@ -178,7 +183,9 @@ def triangle_setup(
         ndc = ndc.at[..., :2].add(jnp.asarray(jitter)[None, None, :])
 
     x = (ndc[..., 0] * 0.5 + 0.5) * width   # (T, 3)
-    y = (ndc[..., 1] * 0.5 + 0.5) * height
+    y = (ndc[..., 1] * 0.5 + 0.5) * (full_height or height)
+    if y_offset is not None:
+        y = y - y_offset
     d = ndc[..., 2]
 
     # Signed doubled area; orientation-normalize (two-sided raster).
