@@ -50,7 +50,19 @@ class CompiledScene(NamedTuple):
 
 def build_mip_pyramid(tex_array: np.ndarray) -> Tuple[np.ndarray, ...]:
     """(NT, S, S, 4) u8 -> tuple of mips down to 1x1 via 2x2 box filter
-    (the reference's vkCmdBlitImage linear mip-gen, scene/images.cpp:93+)."""
+    (the reference's vkCmdBlitImage linear mip-gen, scene/images.cpp:93+).
+
+    Uses the native C++ pipeline (vkr_tpu/native) when built."""
+    from vkr_tpu import native
+
+    if native.available():
+        mips = [tex_array]
+        cur = tex_array
+        while cur.shape[1] > 1:
+            cur = native.mip_downsample_rgba8(cur)
+            mips.append(cur)
+        return tuple(mips)
+
     mips = [tex_array]
     cur = tex_array.astype(np.uint16)
     while cur.shape[1] > 1:
@@ -63,10 +75,14 @@ def build_mip_pyramid(tex_array: np.ndarray) -> Tuple[np.ndarray, ...]:
 
 
 def _resize_rgba(img: np.ndarray, size: int) -> np.ndarray:
-    from PIL import Image
+    from vkr_tpu import native
 
     if img.shape[0] == size and img.shape[1] == size:
         return img
+    if native.available():
+        return native.resize_rgba8(img, size, size)
+    from PIL import Image
+
     pil = Image.fromarray(img)
     return np.asarray(pil.resize((size, size), Image.BILINEAR), np.uint8)
 
