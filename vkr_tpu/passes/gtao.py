@@ -247,6 +247,170 @@ def gtao_main_dense(depth_half, normal_half, params: GTAOParams,
     return jnp.where(depth_half >= 1.0, 0.0, ao)
 
 
+def gtao_normal_space(depth_half, normal_half, params: GTAOParams,
+                      base_angle, dirs_count: int = 1):
+    """main.comp gtao_normal_space (148-193): horizon march against the
+    surface normal with cosine-free (1 - h^2) integration; larger radius
+    clamp (200/|p|, 32px) and SAMPLES=20 steps."""
+    h, w = depth_half.shape
+    uv = screen_uv_grid(h, w)
+    camera_pos = reconstruct_view_vec(
+        uv, depth_half, params.fovy, params.aspect, params.znear,
+        params.zfar,
+    )
+    nm = jnp.asarray(params.normal_mat)
+    cam_n = decode_normal(normal_half) @ nm[:3, :3].T
+    cam_n = cam_n / jnp.linalg.norm(cam_n, axis=-1,
+                                    keepdims=True).clip(1e-20)
+
+    # tangent basis (main.comp get_tangent)
+    max_xy = jnp.maximum(jnp.abs(cam_n[..., 0]), jnp.abs(cam_n[..., 1]))
+    tangent = jnp.where(
+        (max_xy < 1e-5)[..., None],
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), cam_n.shape),
+        jnp.stack([cam_n[..., 1], -cam_n[..., 0],
+                   jnp.zeros_like(max_xy)], -1),
+    )
+    tangent = tangent / jnp.linalg.norm(tangent, axis=-1,
+                                        keepdims=True).clip(1e-20)
+    bitangent = jnp.cross(cam_n, tangent)
+    bitangent = bitangent / jnp.linalg.norm(
+        bitangent, axis=-1, keepdims=True).clip(1e-20)
+    tangent = jnp.cross(bitangent, cam_n)
+
+    cls = gtao_direction_pattern(h, w).astype(jnp.float32) / 16.0
+    size = jnp.asarray([w, h], jnp.float32)
+    radius_px = jnp.minimum(
+        200.0 / jnp.linalg.norm(camera_pos, axis=-1).clip(1e-20), 32.0
+    )
+
+    total = jnp.zeros((h, w), jnp.float32)
+    for d in range(dirs_count):
+        angle = 2.0 * PI * (cls + base_angle + d / dirs_count)
+        sample_vec = (
+            jnp.cos(angle)[..., None] * tangent
+            + jnp.sin(angle)[..., None] * bitangent
+        )
+        from vkr_tpu.mathlib.projection import project_view_vec
+
+        sdir = project_view_vec(
+            camera_pos + sample_vec, params.fovy, params.aspect,
+            params.znear, params.zfar,
+        )[..., :2] - uv
+        sdir = sdir / jnp.linalg.norm(sdir, axis=-1,
+                                      keepdims=True).clip(1e-20)
+        dir_uv = radius_px[..., None] * sdir / size
+
+        def step(i, carry):
+            h_cos, prev_z, alive = carry
+            tc = uv + (i.astype(jnp.float32) / 20.0) * dir_uv
+            sd = bilinear_sample(depth_half, tc)
+            sp = reconstruct_view_vec(tc, sd, params.fovy, params.aspect,
+                                      params.znear, params.zfar)
+            alive = alive & ~(sp[..., 2] > prev_z + MAX_THICKNESS)
+            prev_z = jnp.where(alive, sp[..., 2], prev_z)
+            off = sp - camera_pos
+            s_cos = (cam_n * off).sum(-1) / jnp.linalg.norm(
+                off, axis=-1).clip(1e-20)
+            h_cos = jnp.where(alive, jnp.maximum(h_cos, s_cos), h_cos)
+            return h_cos, prev_z, alive
+
+        h_cos, _, _ = jax.lax.fori_loop(
+            1, 21, step,
+            (jnp.full((h, w), -1.0), camera_pos[..., 2],
+             jnp.ones((h, w), bool)),
+        )
+        h_cos = jnp.maximum(h_cos, 0.0)
+        total = total + (1.0 - h_cos * h_cos)
+
+    return jnp.where(depth_half >= 1.0, 1.0, total / dirs_count)
+
+
+def gtao_main_mis(depth_half, normal_half, material_full, pdf_lut,
+                  ssr_occlusion, params: GTAOParams, base_angle,
+                  weight_ratio: float = 1.0,
+                  reflections_only: bool = False):
+    """main.comp mis_gtao (239-296): MIS-combine one uniform-direction
+    GTAO arc with the SSR trace's GGX-importance occlusion estimate
+    (ssr_occlusion = SSR trace occlusion output (h, w, 2) = (sum, pdf),
+    written into gtao.raw before this pass — main.cpp ssr.run(...,
+    gtao.raw))."""
+    from vkr_tpu.passes.ssr import sample_ggx_dir_pdf
+
+    h, w = depth_half.shape
+    uv = screen_uv_grid(h, w)
+    camera_pos = reconstruct_view_vec(
+        uv, depth_half, params.fovy, params.aspect, params.znear,
+        params.zfar,
+    )
+    w0 = -camera_pos / jnp.linalg.norm(camera_pos, axis=-1,
+                                       keepdims=True).clip(1e-20)
+    nm = jnp.asarray(params.normal_mat)
+    cam_n = decode_normal(normal_half) @ nm[:3, :3].T
+    cam_n = cam_n / jnp.linalg.norm(cam_n, axis=-1,
+                                    keepdims=True).clip(1e-20)
+
+    size = jnp.asarray([w, h], jnp.float32)
+    radius_px = jnp.minimum(
+        100.0 / jnp.linalg.norm(camera_pos, axis=-1).clip(1e-20), 16.0
+    )
+    cls = gtao_direction_pattern(h, w).astype(jnp.float32) / 16.0
+    angle = 2.0 * PI * (cls + base_angle)
+    dir_uv = radius_px[..., None] * jnp.stack(
+        [jnp.cos(angle), jnp.sin(angle)], -1) / size
+
+    sample_end = reconstruct_view_vec(
+        uv + dir_uv, depth_half, params.fovy, params.aspect, params.znear,
+        params.zfar,
+    )
+    ldir = sample_end - camera_pos
+    ldir = ldir / jnp.linalg.norm(ldir, axis=-1, keepdims=True).clip(1e-20)
+    n_proj_len, n_angle = _arc_terms(
+        uv, depth_half, camera_pos, w0, cam_n, dir_uv, params
+    )
+
+    def stp(i, carry):
+        h_cos, prev_z, alive = carry
+        tc = uv + (i.astype(jnp.float32) / N_STEPS) * dir_uv
+        sd = bilinear_sample(depth_half, tc)
+        sp = reconstruct_view_vec(tc, sd, params.fovy, params.aspect,
+                                  params.znear, params.zfar)
+        alive = alive & ~(sp[..., 2] > prev_z + MAX_THICKNESS)
+        prev_z = jnp.where(alive, sp[..., 2], prev_z)
+        off = sp - camera_pos
+        s_cos = (w0 * off).sum(-1) / jnp.linalg.norm(
+            off, axis=-1).clip(1e-20)
+        h_cos = jnp.where(alive, jnp.maximum(h_cos, s_cos), h_cos)
+        return h_cos, prev_z, alive
+
+    h_cos, _, _ = jax.lax.fori_loop(
+        1, N_STEPS + 1, stp,
+        (jnp.full((h, w), -1.0), camera_pos[..., 2],
+         jnp.ones((h, w), bool)),
+    )
+    occlusion = (1.0 / PI) * _arc_integral(h_cos, n_proj_len, n_angle)
+
+    roughness = bilinear_sample(material_full, uv)[..., 1]
+    pdf_ggx = sample_ggx_dir_pdf(pdf_lut, w0, cam_n, ldir,
+                                 roughness * roughness)
+    pdf_uniform = 1.0 / (2.0 * PI)
+
+    ao = ssr_occlusion  # (h, w, 2): (sum, pdf)
+    if reflections_only:
+        res = ao[..., 0] / jnp.where(jnp.abs(ao[..., 1]) < 1e-20, 1e-20,
+                                     ao[..., 1])
+        res = jnp.where(jnp.isnan(res), 1.0, res)
+        return jnp.where(depth_half >= 1.0, 0.0, res)
+
+    alpha = 1.0 / (weight_ratio + 1.0)
+    beta = 1.0 - alpha
+    mw1 = alpha / (alpha * ao[..., 1] + beta * pdf_uniform)
+    mw2 = beta / (alpha * pdf_ggx + beta * pdf_uniform)
+    mis_ao = ao[..., 0] * mw1 + occlusion * mw2
+    mis_ao = jnp.where(jnp.isnan(mis_ao), occlusion / pdf_uniform, mis_ao)
+    return jnp.where(depth_half >= 1.0, 0.0, mis_ao)
+
+
 def gtao_filter(depth_half, raw_ao, znear: float, zfar: float):
     """4x4 depth-bilateral average (filter.comp:32-50): offsets -2..+1,
     weight = max(0, 1 - 5|zs - z| / |z|)."""
