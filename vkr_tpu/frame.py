@@ -152,6 +152,7 @@ def render_frame(
                 reflections, depth_half, hiz.normal_half, gbuf.material,
                 state.ssr_history, hiz.velocity_half,
                 state.prev_depth_half, blur_params,
+                use_kernel_gather=use_pallas, interpret=interpret,
             ),
         )
     else:
@@ -189,6 +190,7 @@ def render_frame(
                 depth_half, state.prev_depth_half, filtered_ao,
                 hiz.velocity_half, state.gtao_accum, ap,
                 state.frame_index == 0,
+                use_kernel_gather=use_pallas, interpret=interpret,
             ),
         )
         occlusion = gtao_accum[..., 0]
@@ -225,6 +227,7 @@ def render_frame(
             lambda: _taa.taa_resolve(
                 state.taa_history, state.prev_depth, gbuf.depth,
                 gbuf.velocity, color, tp,
+                use_kernel_gather=use_pallas, interpret=interpret,
             ),
         )
     else:

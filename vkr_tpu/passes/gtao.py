@@ -448,7 +448,8 @@ class GTAOAccumParams(NamedTuple):
 
 def gtao_accumulate(depth_half, prev_depth_half, filtered_ao,
                     velocity_half, history, params: GTAOAccumParams,
-                    clear_history):
+                    clear_history, use_kernel_gather: bool = False,
+                    interpret: bool = False):
     """Temporal accumulation (accum.comp): velocity reprojection validated
     by world-space reconstruction; running mean with sample count in .y.
 
@@ -465,8 +466,15 @@ def gtao_accumulate(depth_half, prev_depth_half, filtered_ao,
         & (prev_uv[..., 1] >= 0.0) & (prev_uv[..., 1] <= 1.0)
     )
 
-    def world_pos(depth_tex, inv_cam, suv, sample):
-        d = bilinear_sample(depth_tex, suv) if sample else depth_tex
+    from vkr_tpu.passes.sampling import reproject_bilinear
+
+    def world_pos(depth_tex, inv_cam, suv, vel):
+        if vel is None:
+            d = depth_tex
+        else:
+            d = reproject_bilinear(depth_tex, vel,
+                                   use_kernel=use_kernel_gather,
+                                   interpret=interpret)
         v_cam = reconstruct_view_vec(
             suv, d, params.fovy, params.aspect, params.znear, params.zfar
         )
@@ -474,7 +482,7 @@ def gtao_accumulate(depth_half, prev_depth_half, filtered_ao,
         return v_cam @ m[:3, :3].T + m[:3, 3][None, None, :]
 
     w_prev = world_pos(prev_depth_half, params.prev_inverse_camera,
-                       prev_uv, True)
+                       prev_uv, velocity)
     mvp = jnp.asarray(params.mvp)
     prev_h = jnp.concatenate(
         [w_prev, jnp.ones((h, w, 1), jnp.float32)], -1
@@ -501,7 +509,10 @@ def gtao_accumulate(depth_half, prev_depth_half, filtered_ao,
         & ~clear_history
     )
 
-    accumulated = bilinear_sample(history, prev_uv)
+    accumulated = reproject_bilinear(
+        history, velocity, use_kernel=use_kernel_gather,
+        interpret=interpret,
+    )
     samples = 255.0 * accumulated[..., 1] * valid_samples
     new_ao = filtered_ao
     acc_ao = (accumulated[..., 0] * samples + new_ao) / (samples + 1.0)

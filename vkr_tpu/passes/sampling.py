@@ -77,6 +77,35 @@ def texel_fetch(img, x, y):
     return out[..., 0] if squeeze else out
 
 
+def reproject_bilinear(img, uv_offset, *, radius: int = 16,
+                       texel_offset=None, use_kernel: bool = True,
+                       interpret: bool = False):
+    """Bilinear sample at (pixel uv + uv_offset), the reprojection pattern
+    of TAA / temporal accumulation.
+
+    With use_kernel, runs the Pallas tiled window-gather (offsets clamped
+    to +-radius px, ~15x faster than XLA gather on TPU); otherwise falls
+    back to the dense XLA path without the clamp. texel_offset: optional
+    (2,) constant texel offset (textureOffset analog).
+    """
+    h, w = img.shape[:2]
+    if use_kernel:
+        from vkr_tpu.raster.gather_kernel import window_gather_bilinear
+
+        off_x = uv_offset[..., 0] * w
+        off_y = uv_offset[..., 1] * h
+        if texel_offset is not None:
+            off_x = off_x + texel_offset[0]
+            off_y = off_y + texel_offset[1]
+        return window_gather_bilinear(img, off_y, off_x, radius=radius,
+                                      interpret=interpret)
+    uv = screen_uv_grid(h, w) + uv_offset
+    return bilinear_sample(
+        img, uv,
+        None if texel_offset is None else jnp.asarray(texel_offset),
+    )
+
+
 def screen_uv_grid(height: int, width: int):
     """Per-pixel uv at pixel centers — the fullscreen-triangle varying
     (screen_uv in the deferred shaders)."""

@@ -545,6 +545,8 @@ def ssr_blur(
     velocity_half,    # (h, w, 2)
     prev_depth_half,
     params: SSRBlurParams,
+    use_kernel_gather: bool = False,
+    interpret: bool = False,
 ):
     """blur.comp: per-pixel roughness-adaptive gaussian (sigma in
     [0.4, 4]) with depth/normal bilateral weights, then velocity-validated
@@ -612,15 +614,23 @@ def ssr_blur(
         & (prev_uv[..., 1] >= 0) & (prev_uv[..., 1] <= 1)
     )
 
-    def world(dtex, inv_cam, suv):
-        d = bilinear_sample(dtex, suv)
+    from vkr_tpu.passes.sampling import reproject_bilinear
+
+    def world(dtex, inv_cam, suv, vel=None):
+        if vel is None:
+            d = dtex
+        else:
+            d = reproject_bilinear(dtex, vel,
+                                   use_kernel=use_kernel_gather,
+                                   interpret=interpret)
         vc = reconstruct_view_vec(suv, d, params.fovy, params.aspect,
                                   params.znear, params.zfar)
         m = jnp.asarray(inv_cam)
         return vc @ m[:3, :3].T + m[:3, 3][None, None, :]
 
     w_cur = world(depth_half, params.inverse_camera, uv)
-    w_prev = world(prev_depth_half, params.prev_inverse_camera, prev_uv)
+    w_prev = world(prev_depth_half, params.prev_inverse_camera, prev_uv,
+                   vel=velocity)
     cam = jnp.asarray(params.inverse_camera)[:3, 3]
     err = jnp.linalg.norm(w_cur - w_prev, axis=-1)
     pixel_dist = jnp.linalg.norm(w_cur - cam[None, None, :], axis=-1)

@@ -33,7 +33,11 @@ def taa_resolve(
     velocity,        # (H, W, 2)
     current_color,   # (H, W, 3)
     params: TAAParams,
+    use_kernel_gather: bool = False,
+    interpret: bool = False,
 ):
+    from vkr_tpu.passes.sampling import reproject_bilinear
+
     h, w = current_depth.shape
     uv = screen_uv_grid(h, w)
 
@@ -44,26 +48,38 @@ def taa_resolve(
         & (prev_uv[..., 1] >= 0) & (prev_uv[..., 1] <= 1)
     )
 
-    history = bilinear_sample(history_color, prev_uv)
-    c0 = bilinear_sample(history_color, prev_uv, jnp.asarray([1, 0]))
-    c1 = bilinear_sample(history_color, prev_uv, jnp.asarray([0, 1]))
-    c2 = bilinear_sample(history_color, prev_uv, jnp.asarray([-1, 0]))
-    c3 = bilinear_sample(history_color, prev_uv, jnp.asarray([0, -1]))
+    def hist_tap(texel_offset=None):
+        return reproject_bilinear(
+            history_color, velocity, texel_offset=texel_offset,
+            use_kernel=use_kernel_gather, interpret=interpret,
+        )
+
+    history = hist_tap()
+    c0 = hist_tap((1, 0))
+    c1 = hist_tap((0, 1))
+    c2 = hist_tap((-1, 0))
+    c3 = hist_tap((0, -1))
     color_min = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3))
     color_max = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
     history = jnp.clip(history, color_min, color_max)
 
     blended = history + (current_color - history) * 0.1
 
-    def world(dtex, inv_cam, suv, sample=True):
-        d = bilinear_sample(dtex, suv) if sample else dtex
+    def world(dtex, inv_cam, suv, vel=None):
+        if vel is None:
+            d = dtex
+        else:
+            d = reproject_bilinear(dtex, vel,
+                                   use_kernel=use_kernel_gather,
+                                   interpret=interpret)
         vc = reconstruct_view_vec(suv, d, params.fovy, params.aspect,
                                   params.znear, params.zfar)
         m = jnp.asarray(inv_cam)
         return vc @ m[:3, :3].T + m[:3, 3][None, None, :]
 
     w_cur = world(current_depth, params.inverse_camera, uv)
-    w_prev = world(history_depth, params.prev_inverse_camera, prev_uv)
+    w_prev = world(history_depth, params.prev_inverse_camera, prev_uv,
+                   vel=velocity)
     cam = jnp.asarray(params.inverse_camera)[:3, 3]
     error = jnp.linalg.norm(w_cur - w_prev, axis=-1)
     pixel_dist = jnp.linalg.norm(w_cur - cam[None, None, :], axis=-1)
