@@ -77,6 +77,69 @@ def texel_fetch(img, x, y):
     return out[..., 0] if squeeze else out
 
 
+def upsample_half_bilinear(img_half, texel_offset=(0, 0)):
+    """Dense 2x bilinear upsample of a half-res target sampled at full-res
+    pixel centers (optionally with a half-res texel offset) — the regular
+    structure of texture(half_tex, full_uv) with linear filtering, without
+    per-pixel gathers.
+
+    Full pixel x maps to half coordinate x/2 - 0.25: even pixels blend
+    columns (x/2 - 1, x/2) with weights (0.25, 0.75); odd pixels blend
+    (x/2, x/2 + 1) with (0.75, 0.25). Same along y.
+    """
+    img, squeeze = _prep(img_half)
+    ox, oy = int(texel_offset[0]), int(texel_offset[1])
+    h, w, c = img.shape
+
+    def axis_interp(a, axis, off):
+        # neighbors at (i - 1 + off, i + off) / (i + off, i + 1 + off)
+        def shifted(k):
+            idx = jnp.clip(jnp.arange(a.shape[axis]) + k, 0,
+                           a.shape[axis] - 1)
+            return jnp.take(a, idx, axis=axis)
+
+        lo = shifted(off - 1)
+        mid = shifted(off)
+        hi = shifted(off + 1)
+        even = 0.25 * lo + 0.75 * mid
+        odd = 0.75 * mid + 0.25 * hi
+        return even, odd
+
+    e_y, o_y = axis_interp(img, 0, oy)
+    rows = jnp.stack([e_y, o_y], axis=1).reshape(2 * h, w, c)
+    e_x, o_x = axis_interp(rows, 1, ox)
+    full = jnp.stack([e_x, o_x], axis=2).reshape(2 * h, 2 * w, c)
+    return full[..., 0] if squeeze else full
+
+
+def downsample_full_to_half(img_full):
+    """Dense equivalent of bilinear-sampling a full-res image at half-res
+    pixel centers: full coordinate 2x + 0.5 -> equal-weight 2x2 average."""
+    img, squeeze = _prep(img_full)
+    h, w, c = img.shape
+    h2, w2 = h // 2, w // 2
+    out = img[: 2 * h2, : 2 * w2].reshape(h2, 2, w2, 2, c).mean(
+        axis=(1, 3)
+    )
+    return out[..., 0] if squeeze else out
+
+
+def downsample_full_to_half_corner(img_full):
+    """Dense equivalent of bilinear-sampling a full-res image at half-res
+    CORNER-convention uv (uv = pixel/size, as sssr filter.comp uses): full
+    coordinate 2x - 0.5 -> equal-weight average of texels (2x-1, 2x),
+    clamped at the edge."""
+    img, squeeze = _prep(img_full)
+    h, w, c = img.shape
+
+    def shift_avg(a, axis):
+        idx = jnp.clip(jnp.arange(a.shape[axis]) - 1, 0, a.shape[axis] - 1)
+        return 0.5 * (jnp.take(a, idx, axis=axis) + a)
+
+    out = shift_avg(shift_avg(img, 0), 1)[::2, ::2]
+    return out[..., 0] if squeeze else out
+
+
 def reproject_bilinear(img, uv_offset, *, radius: int = 16,
                        texel_offset=None, use_kernel: bool = True,
                        interpret: bool = False):

@@ -41,16 +41,20 @@ class ShadingParams(NamedTuple):
 
 def sample_occlusion_ssr(depth_full, depth_half, occlusion, reflections, uv):
     """Depth-aware 4-tap half-res upsample (shader.frag:104-129): pick the
-    half-res texel (of 4 neighbors) whose depth best matches full-res."""
+    half-res texel (of 4 neighbors) whose depth best matches full-res.
+
+    The taps are regular-grid (full-res pixel centers + constant texel
+    offsets), so they run as dense 2x upsampling instead of gathers."""
+    from vkr_tpu.passes.sampling import upsample_half_bilinear
+
     deltas = []
     occ = []
     refl = []
     for off in ((0, 0), (1, 0), (0, 1), (1, 1)):
-        o = jnp.asarray(off)
-        d = bilinear_sample(depth_half, uv, o)
+        d = upsample_half_bilinear(depth_half, off)
         deltas.append(jnp.abs(d - depth_full))
-        occ.append(bilinear_sample(occlusion, uv, o))
-        refl.append(bilinear_sample(reflections, uv, o))
+        occ.append(upsample_half_bilinear(occlusion, off))
+        refl.append(upsample_half_bilinear(reflections, off))
     deltas = jnp.stack(deltas, axis=-1)
     best = jnp.argmin(deltas, axis=-1)
     occ = jnp.stack(occ, axis=-1)

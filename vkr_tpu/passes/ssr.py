@@ -209,7 +209,9 @@ def ssr_trace(
     uv = screen_uv_grid(h, w)
     size = jnp.asarray([w, h], jnp.float32)
 
-    material = bilinear_sample(material_full, uv)
+    from vkr_tpu.passes.sampling import downsample_full_to_half
+
+    material = downsample_full_to_half(material_full)[:h, :w]
     roughness_tex = material[..., 1]
     biased = params.max_roughness * roughness_tex
     roughness = biased * biased  # alpha
@@ -458,10 +460,12 @@ def ssr_filter(
     ys = jnp.arange(h, dtype=jnp.float32) / h
     uv = jnp.stack(jnp.meshgrid(xs, ys), axis=-1)
 
-    material = bilinear_sample(material_full, uv)
+    from vkr_tpu.passes.sampling import downsample_full_to_half_corner
+
+    material = downsample_full_to_half_corner(material_full)[:h, :w]
     metallic = material[..., 2]
     roughness = material[..., 1]
-    albedo = bilinear_sample(albedo_full[..., :3], uv)
+    albedo = downsample_full_to_half_corner(albedo_full[..., :3])[:h, :w]
     f0 = f0_approximation(albedo, metallic)
     nm = jnp.asarray(params.normal_mat)
 
@@ -554,7 +558,9 @@ def ssr_blur(
     h, w = depth_half.shape
     uv = screen_uv_grid(h, w)
 
-    roughness = bilinear_sample(material_full, uv)[..., 1]
+    from vkr_tpu.passes.sampling import downsample_full_to_half
+
+    roughness = downsample_full_to_half(material_full[..., 1])[:h, :w]
     roughness = params.max_roughness * roughness
     sigma = 0.4 + (4.0 - 0.4) * roughness
     if params.disable_blur:
