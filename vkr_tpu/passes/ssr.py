@@ -358,6 +358,7 @@ def _hierarchical_march(hiz, origin, direction, camera_start, w0, params,
     position = origin + current_t[..., None] * direction
 
     state = dict(
+        i=jnp.asarray(0, jnp.int32),
         position=position,
         current_t=current_t,
         mip=jnp.zeros(position.shape[:2], jnp.int32),
@@ -415,10 +416,16 @@ def _hierarchical_march(hiz, origin, direction, camera_start, w0, params,
 
         iters = jnp.where(act, i + 1, st["iters"])
         done = st["done"] | (mip_out < 0)
-        return dict(position=position, current_t=current_t, mip=mip_out,
-                    hor=hor, done=done, iters=iters)
+        return dict(i=i + 1, position=position, current_t=current_t,
+                    mip=mip_out, hor=hor, done=done, iters=iters)
 
-    st = jax.lax.fori_loop(0, max_iterations, body, state)
+    # Early exit once every ray is done (the reference's while loop exits
+    # per thread; SIMD-wide the slowest live ray gates the trip count).
+    st = jax.lax.while_loop(
+        lambda st: (st["i"] < max_iterations) & jnp.any(~st["done"]),
+        lambda st: body(st["i"], st),
+        state,
+    )
     # valid_hit = i <= max_iterations: rays still marching after the cap are
     # invalid; the reference's loop exit sets i = max_iterations for them.
     iters = jnp.where(st["done"], st["iters"], max_iterations + 1)
