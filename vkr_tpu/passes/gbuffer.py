@@ -121,19 +121,11 @@ def _resolve_attrs(
 
     tri_mat_clipped = tri_mat[vis.src]
     if vis.pair_tri is not None:
-        corner9 = jnp.concatenate(
-            [
-                corner_attributes(uvs, indices, vis.weights, vis.src),
-                corner_attributes(world_n, indices, vis.weights, vis.src),
-                corner_attributes(prev_clip, indices, vis.weights, vis.src),
-            ],
-            axis=-1,
-        )  # (TC, 3, 9)
-        rows = _rk.build_resolve_rows(
-            vis.setup, vis.pair_tri, corner9, tri_mat_clipped
-        )
+        # The raster already built the shared pair rows with the resolve
+        # planes (rasterize(vertex_attrs=...)).
         out = _rk.resolve_tiles(
-            rows, vis.seg_starts, vis.seg_counts, vis.tri_id_padded,
+            vis.pair_rows, vis.seg_starts, vis.seg_counts,
+            vis.tri_id_padded,
             width=width, height=height, interpret=interpret,
         )
         out = out[:, :height, :width]
@@ -198,10 +190,15 @@ def render_gbuffer(
         scene.normals, scene.vert_transform, scene.normal_mats
     )
 
+    # Per-vertex attribute pack for the shared resolve planes:
+    # uv (2) + world normal (3) + previous clip (4).
+    vattrs = jnp.concatenate([scene.uvs, world_n, prev_clip], axis=-1)
     rkw = dict(width=width, height=height, jitter=jitter,
-               use_pallas=use_pallas, interpret=interpret)
+               use_pallas=use_pallas, interpret=interpret,
+               vertex_attrs=vattrs if use_pallas else None)
     akw = dict(width=width, height=height, interpret=interpret)
-    vis = rasterize(clip, scene.tri_opaque, **rkw)
+    vis = rasterize(clip, scene.tri_opaque,
+                    tri_mat=scene.tri_opaque_mat, **rkw)
     depth = vis.depth
     mask = vis.tri_id >= 0
     attrs = _resolve_attrs(
@@ -211,7 +208,8 @@ def render_gbuffer(
 
     has_masked = int(scene.tri_masked.shape[0]) > 0
     if has_masked:
-        vis_b = rasterize(clip, scene.tri_masked, **rkw)
+        vis_b = rasterize(clip, scene.tri_masked,
+                          tri_mat=scene.tri_masked_mat, **rkw)
         attrs_b = _resolve_attrs(
             vis_b, scene.tri_masked, scene.tri_masked_mat, scene.uvs,
             world_n, prev_clip, **akw,

@@ -28,17 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vkr_tpu.raster.setup import PAIR_ALIGN
 
-# pair row layout (f32):
-#   [0:3]  a0 a1 a2   edge x coefficients
-#   [3:6]  b0 b1 b2   edge y coefficients
-#   [6:9]  c0 c1 c2   edge constants (fill-rule biased)
-#   [9:12] za zb zc   screen-linear depth plane
-#   [12]   triangle id (exact in f32: < 2^24 triangles)
-#   [13:16] padding
-SETUP_WIDTH = 16
-PAIRS_PER_ROW = 128 // SETUP_WIDTH  # 8 (== setup.PAIR_ALIGN)
+# Pair rows are the shared 64-f32 layout of raster/pair_rows.py (raster
+# fields at [0:16), resolve fields at [16:64)).
+from vkr_tpu.raster.pair_rows import ROW_WIDTH, PAIRS_PER_ROW
+
+SETUP_WIDTH = ROW_WIDTH
 _CHUNK = 32                          # pairs per DMA chunk
-_CHUNK_ROWS = _CHUNK * SETUP_WIDTH // 128  # 4 rows of 128 lanes
+_CHUNK_ROWS = _CHUNK * ROW_WIDTH // 128  # 16 rows of 128 lanes
 
 
 def _raster_kernel(
@@ -86,7 +82,7 @@ def _raster_kernel(
         base = ci * _CHUNK
         for t in range(_CHUNK):  # static unroll; static SMEM indices
             valid = (base + t) < count
-            flat = t * SETUP_WIDTH
+            flat = t * ROW_WIDTH
 
             def f(k, flat=flat):
                 return scratch[(flat + k) // 128, (flat + k) % 128]
@@ -110,29 +106,11 @@ def _raster_kernel(
 
 
 def build_pair_setup(setup, pair_tri_aligned):
-    """Gather the binned, segment-aligned per-pair setup rows (jnp).
+    """Back-compat shim: build visibility-only 64-wide pair rows (see
+    raster/pair_rows.py for the shared layout)."""
+    from vkr_tpu.raster.pair_rows import build_tri_rows, expand_pair_rows
 
-    Returns (n_rows, 128) f32 — PAIRS_PER_ROW pair rows packed per 128-lane
-    row, padded with one extra chunk so fixed-size DMAs never run off the
-    end. Padding pairs (id -1) carry c = -1 edges so they never cover.
-    """
-    t = jnp.maximum(pair_tri_aligned, 0)
-    live = (pair_tri_aligned >= 0)[:, None]
-    zeros3 = jnp.zeros((t.shape[0], 3), jnp.float32)
-    rows = jnp.concatenate(
-        [
-            jnp.where(live, setup.a[t], 0.0),
-            jnp.where(live, setup.b[t], 0.0),
-            jnp.where(live, setup.c[t], -1.0),  # e = -1 < 0: no coverage
-            jnp.where(live, setup.zplane[t], 0.0),
-            pair_tri_aligned[:, None].astype(jnp.float32),
-            zeros3,
-        ],
-        axis=-1,
-    )
-    pad = jnp.zeros((_CHUNK, SETUP_WIDTH), jnp.float32)
-    flat = jnp.concatenate([rows, pad], axis=0).reshape(-1, 128)
-    return flat
+    return expand_pair_rows(build_tri_rows(setup), pair_tri_aligned)
 
 
 @functools.partial(

@@ -26,12 +26,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RESOLVE_WIDTH = 32
-_CHUNK = 32                                   # pairs per DMA chunk
-_CHUNK_ROWS = _CHUNK * RESOLVE_WIDTH // 128   # 8 rows of 128 lanes
+from vkr_tpu.raster.pair_rows import (
+    N_CHANNELS,
+    RESOLVE_BASE,
+    ROW_WIDTH,
+)
 
-# interpolated channels: uv(2) + normal(3) + prev_clip(4)
-N_CHANNELS = 9
+_CHUNK = 32                                 # pairs per DMA chunk
+_CHUNK_ROWS = _CHUNK * ROW_WIDTH // 128     # 16 rows of 128 lanes
 
 
 def build_resolve_rows(setup, pair_tri_aligned, corner_attrs, tri_mat):
@@ -98,7 +100,7 @@ def _resolve_kernel(
 
     start = starts_ref[tile_id]
     count = counts_ref[tile_id]
-    row0 = start // (128 // RESOLVE_WIDTH)
+    row0 = start // (128 // ROW_WIDTH)
 
     px = (
         jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
@@ -129,23 +131,24 @@ def _resolve_kernel(
         cp.wait()
         base = ci * _CHUNK
         for t in range(_CHUNK):
-            flat = t * RESOLVE_WIDTH
+            flat = t * ROW_WIDTH
 
             def f(k, flat=flat):
                 return scratch[(flat + k) // 128, (flat + k) % 128]
 
             valid = (base + t) < count
-            match = (tid == f(0)) & valid
+            match = (tid == f(12)) & valid  # shared row: id at [12]
+            rb = RESOLVE_BASE
             carry[0] = jnp.where(
-                match, f(1) * px + f(2) * py + f(3), carry[0]
+                match, f(rb) * px + f(rb + 1) * py + f(rb + 2), carry[0]
             )
             for ch in range(N_CHANNELS):
-                o = 4 + 3 * ch
+                o = rb + 3 + 3 * ch
                 carry[1 + ch] = jnp.where(
                     match, f(o) * px + f(o + 1) * py + f(o + 2),
                     carry[1 + ch],
                 )
-            carry[-1] = jnp.where(match, f(31), carry[-1])
+            carry[-1] = jnp.where(match, f(rb + 30), carry[-1])
         return tuple(carry)
 
     num_chunks = pl.cdiv(count, _CHUNK)
