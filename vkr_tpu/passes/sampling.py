@@ -124,6 +124,46 @@ def downsample_full_to_half(img_full):
     return out[..., 0] if squeeze else out
 
 
+def quad_pack(img):
+    """Pack each texel's 2x2 bilinear footprint into one row:
+    out[y, x] = [p(y,x), p(y,x+1), p(y+1,x), p(y+1,x+1)] per channel
+    (edge-clamped). A bilinear sample then needs ONE row gather
+    (bilinear_from_quad) instead of four — XLA's scalarized gather prices
+    by index count, and row width is nearly free."""
+    img, squeeze = _prep(img)
+    xr = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    yd = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    yxd = jnp.concatenate([xr[1:], xr[-1:]], axis=0)
+    return jnp.concatenate([img, xr, yd, yxd], axis=-1)
+
+
+def bilinear_from_quad(qimg, channels: int, uv):
+    """texture(img, uv) using a quad_pack'ed image: one gather per sample.
+
+    qimg: (H, W, 4*C); returns (..., C) (or (...,) when channels == 1 and
+    the source was 2D — caller squeezes)."""
+    h, w = qimg.shape[:2]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    # Left/top edge: both hardware taps clamp to texel 0, so the lerp
+    # weight must collapse to the first packed tap.
+    fx = jnp.where(x0 < 0, 0.0, x - x0)[..., None]
+    fy = jnp.where(y0 < 0, 0.0, y - y0)[..., None]
+    xi = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    rows = qimg[yi, xi]  # (..., 4C) — single gather
+    c = channels
+    t00 = rows[..., 0 * c : 1 * c]
+    t10 = rows[..., 1 * c : 2 * c]
+    t01 = rows[..., 2 * c : 3 * c]
+    t11 = rows[..., 3 * c : 4 * c]
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
 def downsample_full_to_half_corner(img_full):
     """Dense equivalent of bilinear-sampling a full-res image at half-res
     CORNER-convention uv (uv = pixel/size, as sssr filter.comp uses): full

@@ -142,8 +142,10 @@ def deferred_shading(
         + (params.max_roughness - params.min_roughness) * roughness
     )
     if brdf_lut is not None:
+        from vkr_tpu.passes.sampling import bilinear_from_quad, quad_pack
+
         lut_uv = jnp.stack([biased_roughness, ndv], axis=-1)
-        ssr_brdf = bilinear_sample(brdf_lut, lut_uv)
+        ssr_brdf = bilinear_from_quad(quad_pack(brdf_lut), 2, lut_uv)
         lo = lo + refl * (
             f0 * ssr_brdf[..., 0:1] + ssr_brdf[..., 1:2]
         )

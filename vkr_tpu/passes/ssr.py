@@ -284,17 +284,20 @@ def ssr_trace(
         jnp.maximum(ray_step[..., 0], ray_step[..., 1]) >= 2.0
     )
 
-    hit_n_world = decode_normal(bilinear_sample(normal_half,
-                                                position[..., :2]))
+    from vkr_tpu.passes.sampling import bilinear_from_quad, quad_pack
+
+    hit_n_world = decode_normal(
+        bilinear_from_quad(quad_pack(normal_half), 2, position[..., :2])
+    )
     hit_n = hit_n_world @ nm[:3, :3].T
     valid_hit = valid_hit & ~(
         ((hit_n * r).sum(-1) > 0) | ((n * r).sum(-1) < 0)
     )
 
-    hit_depth = bilinear_sample(
-        # textureLod(DEPTH, xy, 0) = bilinear on the half-res base mip
-        hiz.flat[: h * w].reshape(h, w), position[..., :2],
-    )
+    # textureLod(DEPTH, xy, 0) = bilinear on the half-res base mip
+    hit_depth = bilinear_from_quad(
+        quad_pack(hiz.flat[: h * w].reshape(h, w)), 1, position[..., :2]
+    )[..., 0]
     hit_z = linearize_depth(hit_depth, params.znear, params.zfar)
     ray_z = linearize_depth(position[..., 2], params.znear, params.zfar)
     valid_hit = valid_hit & ~(
@@ -478,6 +481,10 @@ def ssr_filter(
 
     center_depth = depth_half
 
+    from vkr_tpu.passes.sampling import bilinear_from_quad, quad_pack
+
+    albedo_quad = quad_pack(albedo_full[..., :3])
+
     pad = 1
     rays_p = jnp.pad(rays, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
     depth_p = jnp.pad(depth_half, pad, mode="edge")
@@ -508,7 +515,7 @@ def ssr_filter(
         valid = tr[..., 3] != 1.0
         radiance = jnp.where(
             valid[..., None],
-            bilinear_sample(albedo_full[..., :3], tr[..., :2]),
+            bilinear_from_quad(albedo_quad, 3, tr[..., :2]),
             0.0,
         )
         v = -view_vec / jnp.linalg.norm(view_vec, axis=-1,
