@@ -368,6 +368,7 @@ def _hierarchical_march(hiz, origin, direction, camera_start, w0, params,
         hor=jnp.zeros(position.shape[:2], jnp.float32),
         done=jnp.zeros(position.shape[:2], bool),
         iters=jnp.zeros(position.shape[:2], jnp.int32),
+        oob=jnp.zeros(position.shape[:2], bool),
     )
 
     def body(i, st):
@@ -419,8 +420,23 @@ def _hierarchical_march(hiz, origin, direction, camera_start, w0, params,
 
         iters = jnp.where(act, i + 1, st["iters"])
         done = st["done"] | (mip_out < 0)
+        # A ray outside the screen moving further out can never intersect
+        # again; the reference burns its remaining iterations on clamped
+        # fetches and ends invalid (i == max). Retire it now with the same
+        # final semantics (oob stays "not done" in `iters` terms: mark by
+        # forcing iters past the cap below via the oob flag).
+        oob = (
+            ((position[..., 0] < 0.0) & (direction[..., 0] <= 0.0))
+            | ((position[..., 0] > 1.0) & (direction[..., 0] >= 0.0))
+            | ((position[..., 1] < 0.0) & (direction[..., 1] <= 0.0))
+            | ((position[..., 1] > 1.0) & (direction[..., 1] >= 0.0))
+        )
+        newly_oob = act & oob & (mip_out >= 0)
+        done = done | newly_oob
+        oob_flag = st["oob"] | newly_oob
         return dict(i=i + 1, position=position, current_t=current_t,
-                    mip=mip_out, hor=hor, done=done, iters=iters)
+                    mip=mip_out, hor=hor, done=done, iters=iters,
+                    oob=oob_flag)
 
     # Early exit once every ray is done (the reference's while loop exits
     # per thread; SIMD-wide the slowest live ray gates the trip count).
@@ -429,9 +445,11 @@ def _hierarchical_march(hiz, origin, direction, camera_start, w0, params,
         lambda st: body(st["i"], st),
         state,
     )
-    # valid_hit = i <= max_iterations: rays still marching after the cap are
-    # invalid; the reference's loop exit sets i = max_iterations for them.
-    iters = jnp.where(st["done"], st["iters"], max_iterations + 1)
+    # valid_hit = i <= max_iterations: rays still marching after the cap
+    # are invalid, as are retired out-of-bounds rays (the reference ends
+    # them at i == max via clamped fetches).
+    iters = jnp.where(st["done"] & ~st["oob"], st["iters"],
+                      max_iterations + 1)
     position = jnp.where(jnp.isfinite(st["position"]), st["position"], 0.0)
     position = jnp.clip(position, -1e6, 1e6)
     return position, st["hor"], iters
