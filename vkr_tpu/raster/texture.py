@@ -34,26 +34,31 @@ class TextureArray:
     jit argument passing as compile-time constants."""
 
     flat: jnp.ndarray      # (NT * FLAT, 4) u8 — all textures, mips packed
+    flat_quad: jnp.ndarray  # (NT * FLAT, 16) u8 — wrap-aware 2x2 quads
     wrap: jnp.ndarray      # (NT,) i32
     offsets: Tuple[int, ...]  # static: texel offset of each mip level
     sizes: Tuple[int, ...]    # static: edge length of each mip level
     flat_len: int             # FLAT = sum(sizes^2)
 
     def tree_flatten(self):
-        return (self.flat, self.wrap), (
+        return (self.flat, self.flat_quad, self.wrap), (
             self.offsets, self.sizes, self.flat_len,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        flat, wrap = children
+        flat, flat_quad, wrap = children
         offsets, sizes, flat_len = aux
-        return cls(flat=flat, wrap=wrap, offsets=offsets, sizes=sizes,
-                   flat_len=flat_len)
+        return cls(flat=flat, flat_quad=flat_quad, wrap=wrap,
+                   offsets=offsets, sizes=sizes, flat_len=flat_len)
 
 
 def pack_texture_array(tex_mips, wrap) -> TextureArray:
-    """(mip pyramids from scene.build_mip_pyramid) -> flat device layout."""
+    """(mip pyramids from scene.build_mip_pyramid) -> flat device layout.
+
+    Also packs each texel's wrap-aware 2x2 bilinear footprint into a
+    16-byte quad row so a bilinear tap costs ONE gather (see
+    sampling.quad_pack for the rationale)."""
     sizes = tuple(int(m.shape[1]) for m in tex_mips)
     offsets = []
     off = 0
@@ -62,11 +67,27 @@ def pack_texture_array(tex_mips, wrap) -> TextureArray:
         off += s * s
     flat_len = off
     nt = tex_mips[0].shape[0]
+    wrap_np = np.asarray(wrap, np.int32)
     flat = np.zeros((nt, flat_len, 4), np.uint8)
+    quad = np.zeros((nt, flat_len, 16), np.uint8)
     for m, o, s in zip(tex_mips, offsets, sizes):
         flat[:, o : o + s * s] = m.reshape(nt, s * s, 4)
+        for t in range(nt):
+            img = m[t]
+            if t < len(wrap_np) and wrap_np[t] == WRAP_REPEAT:
+                xr = np.roll(img, -1, axis=1)
+                yd = np.roll(img, -1, axis=0)
+                yxd = np.roll(xr, -1, axis=0)
+            else:
+                xr = np.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+                yd = np.concatenate([img[1:], img[-1:]], axis=0)
+                yxd = np.concatenate([xr[1:], xr[-1:]], axis=0)
+            quad[t, o : o + s * s] = np.concatenate(
+                [img, xr, yd, yxd], axis=-1
+            ).reshape(s * s, 16)
     return TextureArray(
         flat=jnp.asarray(flat.reshape(nt * flat_len, 4)),
+        flat_quad=jnp.asarray(quad.reshape(nt * flat_len, 16)),
         wrap=jnp.asarray(wrap, jnp.int32),
         offsets=tuple(offsets),
         sizes=sizes,
@@ -104,7 +125,8 @@ def _wrap_coord(i, size, wrap_mode):
 
 
 def _sample_level(tex: TextureArray, tex_idx, uv, level, wrap_mode):
-    """Bilinear tap at a (per-pixel dynamic) mip level.
+    """Bilinear tap at a (per-pixel dynamic) mip level — ONE quad-row
+    gather per pixel (wrap baked into the packed neighbors).
 
     tex_idx/(H,W) i32, uv/(H,W,2), level/(H,W) i32 -> (H, W, 4) f32 [0,1].
     """
@@ -118,23 +140,22 @@ def _sample_level(tex: TextureArray, tex_idx, uv, level, wrap_mode):
     y = uv[..., 1] * sf - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
+    fx = x - x0
+    fy = y - y0
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
+    # Clamp mode collapses both taps onto texel 0 at the low edge.
+    fx = jnp.where((wrap_mode == WRAP_CLAMP) & (x0 < 0), 0.0, fx)[..., None]
+    fy = jnp.where((wrap_mode == WRAP_CLAMP) & (y0 < 0), 0.0, fy)[..., None]
+    xi = _wrap_coord(x0, s, wrap_mode)
+    yi = _wrap_coord(y0, s, wrap_mode)
 
-    base = tex_idx * tex.flat_len + o
-
-    def tap(xi, yi):
-        xi = _wrap_coord(xi, s, wrap_mode)
-        yi = _wrap_coord(yi, s, wrap_mode)
-        idx = base + yi * s + xi
-        return jnp.take(tex.flat, idx, axis=0).astype(jnp.float32) / 255.0
-
-    t00 = tap(x0, y0)
-    t10 = tap(x0 + 1, y0)
-    t01 = tap(x0, y0 + 1)
-    t11 = tap(x0 + 1, y0 + 1)
+    idx = tex_idx * tex.flat_len + o + yi * s + xi
+    rows = jnp.take(tex.flat_quad, idx, axis=0).astype(jnp.float32) / 255.0
+    t00 = rows[..., 0:4]
+    t10 = rows[..., 4:8]
+    t01 = rows[..., 8:12]
+    t11 = rows[..., 12:16]
     top = t00 + (t10 - t00) * fx
     bot = t01 + (t11 - t01) * fx
     return top + (bot - top) * fy
