@@ -92,11 +92,31 @@ def upsample_half_bilinear(img_half, texel_offset=(0, 0)):
     h, w, c = img.shape
 
     def axis_interp(a, axis, off):
-        # neighbors at (i - 1 + off, i + off) / (i + off, i + 1 + off)
+        # neighbors at (i - 1 + off, i + off) / (i + off, i + 1 + off);
+        # explicit slice+pad shifts (jnp.take with an index vector can
+        # lower to a scalarized gather)
         def shifted(k):
-            idx = jnp.clip(jnp.arange(a.shape[axis]) + k, 0,
-                           a.shape[axis] - 1)
-            return jnp.take(a, idx, axis=axis)
+            n = a.shape[axis]
+            if k == 0:
+                return a
+            sl = [slice(None)] * a.ndim
+            if k > 0:
+                sl[axis] = slice(k, None)
+                body = a[tuple(sl)]
+                sl[axis] = slice(-1, None)
+                edge = a[tuple(sl)]
+                reps = [1] * a.ndim
+                reps[axis] = k
+                return jnp.concatenate([body, jnp.tile(edge, reps)],
+                                       axis=axis)
+            sl[axis] = slice(0, n + k)
+            body = a[tuple(sl)]
+            sl[axis] = slice(0, 1)
+            edge = a[tuple(sl)]
+            reps = [1] * a.ndim
+            reps[axis] = -k
+            return jnp.concatenate([jnp.tile(edge, reps), body],
+                                   axis=axis)
 
         lo = shifted(off - 1)
         mid = shifted(off)
@@ -173,8 +193,13 @@ def downsample_full_to_half_corner(img_full):
     h, w, c = img.shape
 
     def shift_avg(a, axis):
-        idx = jnp.clip(jnp.arange(a.shape[axis]) - 1, 0, a.shape[axis] - 1)
-        return 0.5 * (jnp.take(a, idx, axis=axis) + a)
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(0, -1)
+        body = a[tuple(sl)]
+        sl[axis] = slice(0, 1)
+        edge = a[tuple(sl)]
+        shifted = jnp.concatenate([edge, body], axis=axis)
+        return 0.5 * (shifted + a)
 
     out = shift_avg(shift_avg(img, 0), 1)[::2, ::2]
     return out[..., 0] if squeeze else out
