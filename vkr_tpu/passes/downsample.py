@@ -56,9 +56,12 @@ def downsample_gbuffer(depth, normal, velocity):
     first = jnp.asarray([1, 2, 3, 0], jnp.int32)[first_prio]
     nq = _quads(normal)             # (h, w, 4, 2)
     vq = _quads(velocity)
-    sel = first[..., None, None]
-    normal_half = jnp.take_along_axis(nq, sel, axis=2)[:, :, 0]
-    velocity_half = jnp.take_along_axis(vq, sel, axis=2)[:, :, 0]
+    # 4-way select instead of take_along_axis (scalarized gather on TPU)
+    onehot = (
+        first[..., None] == jnp.arange(4)[None, None, :]
+    ).astype(normal.dtype)  # (h, w, 4)
+    normal_half = jnp.einsum("hwq,hwqc->hwc", onehot, nq)
+    velocity_half = jnp.einsum("hwq,hwqc->hwc", onehot, vq)
     return min_depth, normal_half, velocity_half
 
 

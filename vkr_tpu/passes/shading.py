@@ -57,12 +57,14 @@ def sample_occlusion_ssr(depth_full, depth_half, occlusion, reflections, uv):
         refl.append(upsample_half_bilinear(reflections, off))
     deltas = jnp.stack(deltas, axis=-1)
     best = jnp.argmin(deltas, axis=-1)
+    # one-hot select (take_along_axis lowers to a scalarized gather)
+    onehot = (
+        best[..., None] == jnp.arange(4)[None, None, :]
+    ).astype(deltas.dtype)
     occ = jnp.stack(occ, axis=-1)
     refl = jnp.stack(refl, axis=-1)
-    occlusion_out = jnp.take_along_axis(occ, best[..., None], -1)[..., 0]
-    reflection_out = jnp.take_along_axis(
-        refl, best[..., None, None], -1
-    )[..., 0]
+    occlusion_out = (occ * onehot).sum(-1)
+    reflection_out = jnp.einsum("hwq,hwcq->hwc", onehot, refl)
     return occlusion_out, reflection_out
 
 

@@ -96,7 +96,13 @@ def clip_near_triangles(clip, indices):
     rot = jnp.where(n_inside == 1, rot_one, rot_two)  # (T,)
 
     corner_ids = (rot[:, None] + jnp.arange(3)[None, :]) % 3  # (T, 3)
-    tri_r = jnp.take_along_axis(tri, corner_ids[..., None], axis=1)
+    # Rotation as a one-hot permutation matmul (dense) — take_along_axis /
+    # scatter lower to scalarized gathers on TPU.
+    rot_onehot = (
+        corner_ids[:, :, None] == jnp.arange(3)[None, None, :]
+    ).astype(clip.dtype)  # (T, new corner i, old corner k)
+    tri_r = jnp.einsum("tik,tkc->tic", rot_onehot, tri,
+                       precision="highest")
     zr = tri_r[..., 2]
 
     def lerp_t(za, zb):
@@ -137,17 +143,12 @@ def clip_near_triangles(clip, indices):
     valid1 = n_inside >= 1
     valid2 = n_inside == 2
 
-    # Un-rotate weights back to original corner order.
-    inv_ids = corner_ids  # weight j of rotated corner = original corner_ids[j]
+    # Un-rotate weights back to original corner order: weight j of rotated
+    # corner applies to original corner corner_ids[j] — the transpose of
+    # the rotation permutation, again as a dense one-hot contraction.
     def unrotate(w):
-        # w[:, corner, rotated_weight_idx] -> scatter to original corners
-        out = jnp.zeros_like(w)
-        out = out.at[
-            jnp.arange(w.shape[0])[:, None, None],
-            jnp.arange(3)[None, :, None],
-            inv_ids[:, None, :],
-        ].set(w)
-        return out
+        return jnp.einsum("tkj,tck->tcj", rot_onehot, w,
+                          precision="highest")
 
     w1 = unrotate(w1)
     w2 = unrotate(w2)
