@@ -164,11 +164,23 @@ def pack_pyramid(mips) -> FlatPyramid:
     )
 
 
+def _level_lookup(table, level, n_levels):
+    """Select per-pixel values from a tiny static table with one-hot
+    where-chains (indexing the table with a 2M-pixel index array lowers to
+    a full scalarized gather)."""
+    out = jnp.full(level.shape, table[0], jnp.int32)
+    for l in range(1, n_levels):
+        out = jnp.where(level == l, table[l], out)
+    return out
+
+
 def fetch_pyramid(pyr: FlatPyramid, mip, x, y):
-    """texelFetch(depth, ivec2(x, y), mip) with per-pixel dynamic mip."""
-    offs = jnp.asarray(pyr.offsets, jnp.int32)[mip]
-    hs = jnp.asarray(pyr.heights, jnp.int32)[mip]
-    ws = jnp.asarray(pyr.widths, jnp.int32)[mip]
+    """texelFetch(depth, ivec2(x, y), mip) with per-pixel dynamic mip.
+    One gather per call: the mip layout resolves via static selects."""
+    n = len(pyr.offsets)
+    offs = _level_lookup(pyr.offsets, mip, n)
+    hs = _level_lookup(pyr.heights, mip, n)
+    ws = _level_lookup(pyr.widths, mip, n)
     xi = jnp.clip(x, 0, ws - 1)
     yi = jnp.clip(y, 0, hs - 1)
     return jnp.take(pyr.flat, offs + yi * ws + xi)

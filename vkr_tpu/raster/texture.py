@@ -39,18 +39,20 @@ class TextureArray:
     offsets: Tuple[int, ...]  # static: texel offset of each mip level
     sizes: Tuple[int, ...]    # static: edge length of each mip level
     flat_len: int             # FLAT = sum(sizes^2)
+    uniform_wrap: "int | None" = None  # static: set when all textures agree
 
     def tree_flatten(self):
         return (self.flat, self.flat_quad, self.wrap), (
-            self.offsets, self.sizes, self.flat_len,
+            self.offsets, self.sizes, self.flat_len, self.uniform_wrap,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         flat, flat_quad, wrap = children
-        offsets, sizes, flat_len = aux
+        offsets, sizes, flat_len, uniform_wrap = aux
         return cls(flat=flat, flat_quad=flat_quad, wrap=wrap,
-                   offsets=offsets, sizes=sizes, flat_len=flat_len)
+                   offsets=offsets, sizes=sizes, flat_len=flat_len,
+                   uniform_wrap=uniform_wrap)
 
 
 def pack_texture_array(tex_mips, wrap) -> TextureArray:
@@ -85,6 +87,7 @@ def pack_texture_array(tex_mips, wrap) -> TextureArray:
             quad[t, o : o + s * s] = np.concatenate(
                 [img, xr, yd, yxd], axis=-1
             ).reshape(s * s, 16)
+    uniq = np.unique(wrap_np) if len(wrap_np) else np.asarray([0])
     return TextureArray(
         flat=jnp.asarray(flat.reshape(nt * flat_len, 4)),
         flat_quad=jnp.asarray(quad.reshape(nt * flat_len, 16)),
@@ -92,7 +95,17 @@ def pack_texture_array(tex_mips, wrap) -> TextureArray:
         offsets=tuple(offsets),
         sizes=sizes,
         flat_len=flat_len,
+        uniform_wrap=int(uniq[0]) if len(uniq) == 1 else None,
     )
+
+
+def _level_lookup(table, level):
+    """Tiny-static-table select by per-pixel level (indexing with a pixel-
+    sized index array lowers to a scalarized gather)."""
+    out = jnp.full(level.shape, table[0], jnp.int32)
+    for l in range(1, len(table)):
+        out = jnp.where(level == l, table[l], out)
+    return out
 
 
 def quad_derivative_lod(uv, base_size: int):
@@ -130,10 +143,8 @@ def _sample_level(tex: TextureArray, tex_idx, uv, level, wrap_mode):
 
     tex_idx/(H,W) i32, uv/(H,W,2), level/(H,W) i32 -> (H, W, 4) f32 [0,1].
     """
-    sizes = jnp.asarray(tex.sizes, jnp.int32)
-    offs = jnp.asarray(tex.offsets, jnp.int32)
-    s = sizes[level]  # (H, W)
-    o = offs[level]
+    s = _level_lookup(tex.sizes, level)  # (H, W)
+    o = _level_lookup(tex.offsets, level)
     sf = s.astype(jnp.float32)
 
     x = uv[..., 0] * sf - 0.5
@@ -177,7 +188,12 @@ def sample_texture_array(
     caller's job, matching the separate SRGB-format semantics).
     """
     n_levels = len(tex.sizes)
-    wrap_mode = tex.wrap[jnp.maximum(tex_idx, 0)]
+    # Per-pixel wrap gather only when textures actually differ (a 2M-index
+    # gather from even a tiny table is ~11 ms on TPU).
+    if tex.uniform_wrap is not None:
+        wrap_mode = jnp.full(tex_idx.shape, tex.uniform_wrap, jnp.int32)
+    else:
+        wrap_mode = tex.wrap[jnp.maximum(tex_idx, 0)]
     if lod is None:
         return _sample_level(
             tex, tex_idx, uv, jnp.zeros_like(tex_idx), wrap_mode
@@ -197,10 +213,8 @@ def sample_texture_array(
 
 
 def _sample_level_nearest(tex: TextureArray, tex_idx, uv, level, wrap_mode):
-    sizes = jnp.asarray(tex.sizes, jnp.int32)
-    offs = jnp.asarray(tex.offsets, jnp.int32)
-    s = sizes[level]
-    o = offs[level]
+    s = _level_lookup(tex.sizes, level)
+    o = _level_lookup(tex.offsets, level)
     sf = s.astype(jnp.float32)
     xi = _wrap_coord(jnp.floor(uv[..., 0] * sf).astype(jnp.int32), s,
                      wrap_mode)
