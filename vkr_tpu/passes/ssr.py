@@ -133,7 +133,10 @@ def sample_ggx_dir_pdf(pdf_lut, w0, n, l, alpha):
     coef = jnp.sqrt(jnp.maximum(1.0 - alpha2, 1e-20))
     a = 0.5 * coef * cos_phin * cos_theta + 0.5
     b = coef * sin_phin
-    lut = bilinear_sample(pdf_lut, jnp.stack([a, b], axis=-1))
+    from vkr_tpu.passes.sampling import bilinear_from_quad, quad_pack
+
+    lut = bilinear_from_quad(quad_pack(pdf_lut), 1,
+                             jnp.stack([a, b], axis=-1))[..., 0]
     return alpha2 / (2.0 * PI * coef) * lut
 
 
@@ -228,11 +231,7 @@ def ssr_trace(
     biased = params.max_roughness * roughness_tex
     roughness = biased * biased  # alpha
 
-    pixel_depth = fetch_pyramid(
-        hiz, jnp.zeros((h, w), jnp.int32),
-        jnp.arange(w)[None, :].repeat(h, 0),
-        jnp.arange(h)[:, None].repeat(w, 1),
-    ).reshape(h, w)
+    pixel_depth = hiz.flat[: h * w].reshape(h, w)
     n_world = decode_normal(normal_half)
     nm = jnp.asarray(params.normal_mat)
     n = n_world @ nm[:3, :3].T
@@ -349,114 +348,209 @@ def ssr_trace(
 
 
 def _hierarchical_march(hiz, origin, direction, camera_start, w0, params,
-                        max_iterations, find_hor: bool = True):
+                        max_iterations, find_hor: bool = True,
+                        compact_after: int = 24,
+                        compact_frac: float = 0.25):
     """hierarchical_raymarch_find_hor (trace.comp:171-236). With
     find_hor=False this is the plain hierarchical_raymarch of
-    screen_trace.glsl:51-101 (no fixed fine-mip prefix, no horizon)."""
-    h, w = hiz.heights[0], hiz.widths[0]
+    screen_trace.glsl:51-101 (no fixed fine-mip prefix, no horizon).
+
+    After `compact_after` iterations, surviving rays (typically a small
+    fraction — hits/sky/out-of-bounds retire early) are packed into a
+    dense list of capacity compact_frac * pixels and marched there: the
+    per-iteration pyramid fetch is a scalarized gather priced by index
+    count, so compaction cuts the long tail ~1/compact_frac x. Survivors
+    beyond capacity are marked invalid (they would very likely end
+    invalid at the iteration cap anyway)."""
     n_mips = len(hiz.offsets)
-    inv_dir = jnp.where(
-        direction != 0.0, 1.0 / jnp.where(direction == 0, 1.0, direction),
-        MAX_T,
-    )
+    w, h = hiz.widths[0], hiz.heights[0]
     screen = jnp.asarray([w, h], jnp.float32)
-    uv_offset_mag = 0.005 / screen
-    uv_offset = jnp.where(direction[..., :2] < 0, -uv_offset_mag,
-                          uv_offset_mag)
-    floor_offset = jnp.where(direction[..., :2] < 0, 0.0, 1.0)
+
+    def make_consts(origin, direction, camera_start, w0):
+        inv_dir = jnp.where(
+            direction != 0.0,
+            1.0 / jnp.where(direction == 0, 1.0, direction), MAX_T,
+        )
+        uv_offset_mag = 0.005 / screen
+        uv_offset = jnp.where(direction[..., :2] < 0, -uv_offset_mag,
+                              uv_offset_mag)
+        floor_offset = jnp.where(direction[..., :2] < 0, 0.0, 1.0)
+        return dict(origin=origin, direction=direction, inv_dir=inv_dir,
+                    uv_offset=uv_offset, floor_offset=floor_offset,
+                    camera_start=camera_start, w0=w0)
+
+    def make_body(c):
+        origin = c["origin"]
+        direction = c["direction"]
+        inv_dir = c["inv_dir"]
+        uv_offset = c["uv_offset"]
+        floor_offset = c["floor_offset"]
+        camera_start = c["camera_start"]
+        w0 = c["w0"]
+
+        def body(i, st):
+            mip = st["mip"]
+            mip_res = screen * jnp.exp2(
+                -mip.astype(jnp.float32)
+            )[..., None]
+            mip_pos = mip_res * st["position"][..., :2]
+            surface_z = fetch_pyramid(
+                hiz, jnp.clip(mip, 0, n_mips - 1),
+                mip_pos[..., 0].astype(jnp.int32),
+                mip_pos[..., 1].astype(jnp.int32),
+            )
+
+            # advance_ray (screen_trace.glsl:17-45)
+            xy_plane = (
+                (jnp.floor(mip_pos) + floor_offset) / mip_res + uv_offset
+            )
+            t_xy = (xy_plane - origin[..., :2]) * inv_dir[..., :2]
+            t_z = (surface_z - origin[..., 2]) * inv_dir[..., 2]
+            t_z = jnp.where(direction[..., 2] > 0, t_z, MAX_T)
+            t_min = jnp.minimum(
+                jnp.minimum(t_xy[..., 0], t_xy[..., 1]), t_z
+            )
+            above = surface_z > st["position"][..., 2]
+            skipped = (t_min != t_z) & above
+            new_t = jnp.where(above, t_min, st["current_t"])
+            # Keep t finite: rays with a zero direction component otherwise
+            # produce inf * 0 = NaN here (GPU fast-math hides this; IEEE
+            # f32 on TPU does not).
+            new_t = jnp.clip(new_t, -1e20, 1e20)
+            new_pos = origin + new_t[..., None] * direction
+
+            mip0sample = (i < 15) if find_hor else False
+            new_mip = mip + jnp.where(
+                mip0sample, 0, jnp.where(skipped, 1, -1)
+            )
+
+            act = ~st["done"]
+            position = jnp.where(act[..., None], new_pos, st["position"])
+            current_t = jnp.where(act, new_t, st["current_t"])
+            mip_out = jnp.where(act, new_mip, mip)
+
+            # horizon estimate on fine mips (trace.comp:214-223)
+            v = reconstruct_view_vec(
+                position[..., :2], surface_z, params.fovy, params.aspect,
+                params.znear, params.zfar,
+            ) - camera_start
+            v_len = jnp.linalg.norm(v, axis=-1).clip(1e-20)
+            h2 = (w0 * (v / v_len[..., None])).sum(-1)
+            hor_upd = act & (mip_out <= 1) & (v_len < 0.3)
+            hor = jnp.where(hor_upd, jnp.maximum(st["hor"], h2),
+                            st["hor"])
+
+            iters = jnp.where(act, i + 1, st["iters"])
+            done = st["done"] | (mip_out < 0)
+            # A ray outside the screen moving further out can never
+            # intersect again; retire it as invalid (the reference burns
+            # its remaining iterations and ends invalid).
+            oob = (
+                ((position[..., 0] < 0.0) & (direction[..., 0] <= 0.0))
+                | ((position[..., 0] > 1.0) & (direction[..., 0] >= 0.0))
+                | ((position[..., 1] < 0.0) & (direction[..., 1] <= 0.0))
+                | ((position[..., 1] > 1.0) & (direction[..., 1] >= 0.0))
+            )
+            newly_oob = act & oob & (mip_out >= 0)
+            done = done | newly_oob
+            oob_flag = st["oob"] | newly_oob
+            return dict(i=i + 1, position=position, current_t=current_t,
+                        mip=mip_out, hor=hor, done=done, iters=iters,
+                        oob=oob_flag)
+
+        return body
+
+    consts = make_consts(origin, direction, camera_start, w0)
 
     # initial_advance_ray (screen_trace.glsl:8-15), mip 0
     cur_pos = screen * origin[..., :2]
-    xy_plane = (jnp.floor(cur_pos) + floor_offset) / screen + uv_offset
-    t0 = (xy_plane - origin[..., :2]) * inv_dir[..., :2]
+    xy_plane = (
+        (jnp.floor(cur_pos) + consts["floor_offset"]) / screen
+        + consts["uv_offset"]
+    )
+    t0 = (xy_plane - origin[..., :2]) * consts["inv_dir"][..., :2]
     current_t = jnp.minimum(t0[..., 0], t0[..., 1])
     position = origin + current_t[..., None] * direction
 
+    lead = position.shape[:-1]
     state = dict(
         i=jnp.asarray(0, jnp.int32),
         position=position,
         current_t=current_t,
-        mip=jnp.zeros(position.shape[:2], jnp.int32),
-        hor=jnp.zeros(position.shape[:2], jnp.float32),
-        done=jnp.zeros(position.shape[:2], bool),
-        iters=jnp.zeros(position.shape[:2], jnp.int32),
-        oob=jnp.zeros(position.shape[:2], bool),
+        mip=jnp.zeros(lead, jnp.int32),
+        hor=jnp.zeros(lead, jnp.float32),
+        done=jnp.zeros(lead, bool),
+        iters=jnp.zeros(lead, jnp.int32),
+        oob=jnp.zeros(lead, bool),
     )
 
-    def body(i, st):
-        mip = st["mip"]
-        mip_res = screen[None, None, :] * jnp.exp2(
-            -mip.astype(jnp.float32)
-        )[..., None]
-        mip_pos = mip_res * st["position"][..., :2]
-        surface_z = fetch_pyramid(
-            hiz, jnp.clip(mip, 0, n_mips - 1),
-            mip_pos[..., 0].astype(jnp.int32),
-            mip_pos[..., 1].astype(jnp.int32),
-        )
-
-        # advance_ray (screen_trace.glsl:17-45)
-        xy_plane = (jnp.floor(mip_pos) + floor_offset) / mip_res + uv_offset
-        t_xy = (xy_plane - origin[..., :2]) * inv_dir[..., :2]
-        t_z = (surface_z - origin[..., 2]) * inv_dir[..., 2]
-        t_z = jnp.where(direction[..., 2] > 0, t_z, MAX_T)
-        t_min = jnp.minimum(jnp.minimum(t_xy[..., 0], t_xy[..., 1]), t_z)
-        above = surface_z > st["position"][..., 2]
-        skipped = (t_min != t_z) & above
-        new_t = jnp.where(above, t_min, st["current_t"])
-        # Keep t finite: rays with a zero direction component otherwise
-        # produce inf * 0 = NaN here (GPU fast-math hides this; IEEE f32
-        # on TPU does not).
-        new_t = jnp.clip(new_t, -1e20, 1e20)
-        new_pos = origin + new_t[..., None] * direction
-
-        mip0sample = (i < 15) if find_hor else False
-        new_mip = mip + jnp.where(
-            mip0sample, 0, jnp.where(skipped, 1, -1)
-        )
-
-        act = ~st["done"]
-        position = jnp.where(act[..., None], new_pos, st["position"])
-        current_t = jnp.where(act, new_t, st["current_t"])
-        mip_out = jnp.where(act, new_mip, mip)
-
-        # horizon estimate on fine mips (trace.comp:214-223)
-        v = reconstruct_view_vec(
-            position[..., :2], surface_z, params.fovy, params.aspect,
-            params.znear, params.zfar,
-        ) - camera_start
-        v_len = jnp.linalg.norm(v, axis=-1).clip(1e-20)
-        h2 = (w0 * (v / v_len[..., None])).sum(-1)
-        hor_upd = act & (mip_out <= 1) & (v_len < 0.3)
-        hor = jnp.where(hor_upd, jnp.maximum(st["hor"], h2), st["hor"])
-
-        iters = jnp.where(act, i + 1, st["iters"])
-        done = st["done"] | (mip_out < 0)
-        # A ray outside the screen moving further out can never intersect
-        # again; the reference burns its remaining iterations on clamped
-        # fetches and ends invalid (i == max). Retire it now with the same
-        # final semantics (oob stays "not done" in `iters` terms: mark by
-        # forcing iters past the cap below via the oob flag).
-        oob = (
-            ((position[..., 0] < 0.0) & (direction[..., 0] <= 0.0))
-            | ((position[..., 0] > 1.0) & (direction[..., 0] >= 0.0))
-            | ((position[..., 1] < 0.0) & (direction[..., 1] <= 0.0))
-            | ((position[..., 1] > 1.0) & (direction[..., 1] >= 0.0))
-        )
-        newly_oob = act & oob & (mip_out >= 0)
-        done = done | newly_oob
-        oob_flag = st["oob"] | newly_oob
-        return dict(i=i + 1, position=position, current_t=current_t,
-                    mip=mip_out, hor=hor, done=done, iters=iters,
-                    oob=oob_flag)
-
-    # Early exit once every ray is done (the reference's while loop exits
-    # per thread; SIMD-wide the slowest live ray gates the trip count).
+    body = make_body(consts)
+    phase1_end = min(compact_after, max_iterations)
     st = jax.lax.while_loop(
-        lambda st: (st["i"] < max_iterations) & jnp.any(~st["done"]),
+        lambda st: (st["i"] < phase1_end) & jnp.any(~st["done"]),
         lambda st: body(st["i"], st),
         state,
     )
+
+    if max_iterations > phase1_end and 0 < compact_frac < 1.0:
+        n_px = 1
+        for d in lead:
+            n_px *= d
+        cap = max(128, int(n_px * compact_frac) // 128 * 128)
+
+        def flat(a):
+            return a.reshape((n_px,) + a.shape[len(lead):])
+
+        done_f = flat(st["done"])
+        order = jnp.argsort(done_f)  # actives (False) first
+        idx = order[:cap]
+
+        def take(a):
+            return flat(a)[idx]
+
+        consts2 = {k: take(v) for k, v in consts.items()}
+        st2 = dict(
+            i=st["i"],
+            position=take(st["position"]),
+            current_t=take(st["current_t"]),
+            mip=take(st["mip"]),
+            hor=take(st["hor"]),
+            done=take(st["done"]),
+            iters=take(st["iters"]),
+            oob=take(st["oob"]),
+        )
+        body2 = make_body(consts2)
+        st2 = jax.lax.while_loop(
+            lambda s: (s["i"] < max_iterations) & jnp.any(~s["done"]),
+            lambda s: body2(s["i"], s),
+            st2,
+        )
+
+        selected = jnp.zeros((n_px,), bool).at[idx].set(True)
+        dropped = ~done_f & ~selected  # active survivors beyond capacity
+
+        def put(a_full, a_new):
+            return flat(a_full).at[idx].set(a_new)
+
+        position_f = put(st["position"], st2["position"])
+        hor_f = put(st["hor"], st2["hor"])
+        done_f2 = put(st["done"], st2["done"]) & ~dropped
+        oob_f = put(st["oob"], st2["oob"]) | dropped
+        iters_f = put(st["iters"], st2["iters"])
+        st = dict(
+            position=position_f.reshape(lead + (3,)),
+            hor=hor_f.reshape(lead),
+            done=done_f2.reshape(lead),
+            oob=oob_f.reshape(lead),
+            iters=iters_f.reshape(lead),
+        )
+    else:
+        st = jax.lax.while_loop(
+            lambda s: (s["i"] < max_iterations) & jnp.any(~s["done"]),
+            lambda s: body(s["i"], s),
+            st,
+        )
+
     # valid_hit = i <= max_iterations: rays still marching after the cap
     # are invalid, as are retired out-of-bounds rays (the reference ends
     # them at i == max via clamped fetches).
