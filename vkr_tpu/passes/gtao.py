@@ -411,6 +411,51 @@ def gtao_main_mis(depth_half, normal_half, material_full, pdf_lut,
     return jnp.where(depth_half >= 1.0, 0.0, mis_ao)
 
 
+def deinterleave_depth(depth, pattern_step: int = 2):
+    """gtao_opt/deinterleave.comp: (H, W) -> (layers, H>>n, W>>n) where
+    layer = ((y & mask) << n) + (x & mask) — each layer is one phase of the
+    2^n x 2^n dither lattice (the deinterleaved GTAO variant marches each
+    layer coherently)."""
+    n = pattern_step
+    s = 1 << n
+    h, w = depth.shape
+    h2, w2 = h // s, w // s
+    d = depth[: h2 * s, : w2 * s].reshape(h2, s, w2, s)
+    # (h2, sy, w2, sx) -> layer (sy*s + sx) major
+    return d.transpose(1, 3, 0, 2).reshape(s * s, h2, w2)
+
+
+def interleave_layers(layers, pattern_step: int = 2):
+    """Inverse of deinterleave_depth."""
+    n = pattern_step
+    s = 1 << n
+    ll, h2, w2 = layers.shape
+    d = layers.reshape(s, s, h2, w2).transpose(2, 0, 3, 1)
+    return d.reshape(h2 * s, w2 * s)
+
+
+def gtao_main_deinterleaved(depth_half, normal_half, params: GTAOParams,
+                            base_angle, pattern_step: int = 2):
+    """gtao_opt/main_deinterleaved.comp analog: run the horizon march per
+    dither layer (coherent directions within a layer) and re-interleave.
+    Constructed-but-unwired in the reference's main loop (SURVEY.md §2.4);
+    provided for component parity."""
+    s = 1 << pattern_step
+    h, w = depth_half.shape
+    h2, w2 = h // s, w // s
+    d_layers = deinterleave_depth(depth_half, pattern_step)
+    n_layers = deinterleave_depth(normal_half[..., 0], pattern_step)
+    n_layers2 = deinterleave_depth(normal_half[..., 1], pattern_step)
+
+    outs = []
+    for l in range(s * s):
+        noct = jnp.stack([n_layers[l], n_layers2[l]], axis=-1)
+        ao = gtao_main_exact(d_layers[l], noct, params,
+                             base_angle + l / float(s * s))
+        outs.append(ao)
+    return interleave_layers(jnp.stack(outs), pattern_step)
+
+
 def gtao_filter(depth_half, raw_ao, znear: float, zfar: float):
     """4x4 depth-bilateral average (filter.comp:32-50): offsets -2..+1,
     weight = max(0, 1 - 5|zs - z| / |z|)."""
