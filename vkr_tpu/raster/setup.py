@@ -287,9 +287,17 @@ def bin_triangles(
     )  # (CAP,) padded with the last id when total < cap
     slot = jnp.arange(cap, dtype=jnp.int32)
     pair_valid = slot < jnp.minimum(total, cap)
-    kk = slot - starts[pair_tri]
-    tx = bx0[pair_tri] + kk % jnp.maximum(wspan[pair_tri], 1)
-    ty = by0[pair_tri] + kk // jnp.maximum(wspan[pair_tri], 1)
+    # One packed gather for the per-pair triangle fields (separate gathers
+    # are each priced by the full pair count on TPU).
+    tri_tbl = jnp.stack(
+        [starts.astype(jnp.int32), bx0.astype(jnp.int32),
+         by0.astype(jnp.int32), jnp.maximum(wspan, 1).astype(jnp.int32)],
+        axis=-1,
+    )  # (T, 4)
+    pv = tri_tbl[pair_tri]  # (CAP, 4)
+    kk = slot - pv[:, 0]
+    tx = pv[:, 1] + kk % pv[:, 3]
+    ty = pv[:, 2] + kk // pv[:, 3]
     tile_id = jnp.where(pair_valid, ty * tiles_x + tx, n_tiles)
 
     order = jnp.argsort(tile_id)
