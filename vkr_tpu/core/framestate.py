@@ -10,7 +10,7 @@ swap (SURVEY.md §5.4).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

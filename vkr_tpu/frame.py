@@ -9,7 +9,7 @@ donate_argnums on the state reproduces the zero-copy swap.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -19,12 +19,7 @@ from vkr_tpu.config import RenderConfig
 from vkr_tpu.core.framestate import FrameState
 from vkr_tpu.core.graph import add_task
 from vkr_tpu.mathlib.brdf import halton23_table
-from vkr_tpu.mathlib.transforms import (
-    inverse_rigid,
-    normal_matrix,
-    perspective,
-    taa_jitter_sequence,
-)
+from vkr_tpu.mathlib.transforms import perspective, taa_jitter_sequence
 from vkr_tpu.passes import downsample as _down
 from vkr_tpu.passes import gtao as _gtao
 from vkr_tpu.passes import ssr as _ssr

@@ -17,9 +17,8 @@ deep; the reference's per-fragment discard handles arbitrary depth).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

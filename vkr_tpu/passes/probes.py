@@ -19,7 +19,7 @@ probe_downsample,trace_probe}. Pipeline:
 from __future__ import annotations
 
 import math
-from typing import List, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

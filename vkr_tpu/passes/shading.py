@@ -9,7 +9,7 @@ the split-sum BRDF LUT, and AO/reflections fetched from half-res with the
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 
@@ -22,7 +22,7 @@ from vkr_tpu.mathlib.brdf import (
 )
 from vkr_tpu.mathlib.octahedral import decode_normal
 from vkr_tpu.mathlib.projection import reconstruct_view_vec
-from vkr_tpu.passes.sampling import bilinear_sample, screen_uv_grid
+from vkr_tpu.passes.sampling import screen_uv_grid
 
 LIGHT_POS = (-1.85867, 5.81832, -0.247114)   # shader.frag:36
 LIGHT_RADIANCE = (0.1, 0.1, 0.1)             # shader.frag:37

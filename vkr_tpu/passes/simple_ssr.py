@@ -8,8 +8,6 @@ frame color.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax.numpy as jnp
 
 from vkr_tpu.mathlib.octahedral import decode_normal

@@ -37,7 +37,7 @@ from vkr_tpu.mathlib.projection import (
     project_view_vec,
     reconstruct_view_vec,
 )
-from vkr_tpu.passes.sampling import bilinear_sample, screen_uv_grid
+from vkr_tpu.passes.sampling import screen_uv_grid
 
 PI = math.pi
 MAX_T = 3.402823466e38

@@ -16,7 +16,6 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from vkr_tpu.mathlib.projection import reconstruct_view_vec
-from vkr_tpu.passes.sampling import screen_uv_grid
 
 TILE = 8  # classification.comp TILE_SIZE
 

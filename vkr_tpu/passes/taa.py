@@ -14,7 +14,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from vkr_tpu.mathlib.projection import reconstruct_view_vec
-from vkr_tpu.passes.sampling import bilinear_sample, screen_uv_grid
+from vkr_tpu.passes.sampling import screen_uv_grid
 
 
 class TAAParams(NamedTuple):

@@ -12,7 +12,7 @@ fetch counts into a heatmap array. Cleared per frame (main.cpp:343).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

@@ -8,7 +8,6 @@ from __future__ import annotations
 import enum
 import math
 
-import jax
 import jax.numpy as jnp
 
 from vkr_tpu.passes.sampling import bilinear_sample, screen_uv_grid

@@ -11,10 +11,10 @@ wins; output is a visibility buffer (depth + winning triangle id).
 Attribute interpolation and texturing happen in a separate deferred resolve
 pass (resolve.py) so the hot loop stays gather-free.
 
-Memory layout: pair rows are 16 f32 (SETUP_WIDTH); the pair buffer is
-viewed as (n_rows, 128) — PAIRS_PER_ROW = 8 pairs per 128-lane row — and
-tile segments are aligned to row boundaries (setup.PAIR_ALIGN), so chunk
-DMAs are whole aligned rows.
+Memory layout: pair rows are the shared 64-f32 layout of
+raster/pair_rows.py (raster fields + resolve planes in one row, built with
+a single gather); the buffer is viewed as (n_rows, 128) and tile segments
+are aligned to PAIR_ALIGN pairs so chunk DMAs are whole aligned rows.
 """
 
 from __future__ import annotations
@@ -25,8 +25,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from vkr_tpu.raster.setup import PAIR_ALIGN
 
 # Pair rows are the shared 64-f32 layout of raster/pair_rows.py (raster
 # fields at [0:16), resolve fields at [16:64)).
@@ -40,7 +38,7 @@ _CHUNK_ROWS = _CHUNK * ROW_WIDTH // 128  # 16 rows of 128 lanes
 def _raster_kernel(
     starts_ref,   # scalar prefetch: (n_tiles,) i32 aligned segment starts
     counts_ref,   # scalar prefetch: (n_tiles,) i32 true pair counts
-    pair_hbm,     # (n_rows, 128) f32 pair buffer (8 pairs per row), HBM
+    pair_hbm,     # (n_rows, 128) f32 pair buffer (2 pairs per row), HBM
     zbuf_ref,     # out: (TH, TW) f32
     tid_ref,      # out: (TH, TW) i32
     scratch,      # SMEM (_CHUNK_ROWS, 128) f32

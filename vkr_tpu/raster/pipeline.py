@@ -8,10 +8,8 @@ deferred resolve (resolve.py).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 
 from vkr_tpu.raster import kernel as _kernel

@@ -10,7 +10,7 @@ gbuf/opaque_taa.frag). Pure gather + arithmetic over the pixel grid.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 

@@ -8,13 +8,8 @@ and both numerator and denominator are linear in screen (x, y), so every
 channel is a plane (p, q, r) evaluated where the pair's triangle id matches
 the visibility buffer — streaming DMA + FMA + select, zero gathers.
 
-Row layout (RESOLVE_WIDTH = 32 f32, 4 pairs per 128-lane row):
-  [0]      triangle id (f32-exact)
-  [1:4]    denominator plane  sum e_i/w_i
-  [4:10]   uv/w planes        (u, v) x (p,q,r)
-  [10:19]  normal/w planes    (nx, ny, nz) x (p,q,r)
-  [19:31]  prev_clip/w planes (x,y,z,w) x (p,q,r)
-  [31]     material id (f32)
+Pair rows are the shared 64-f32 layout of raster/pair_rows.py (built once
+per raster call, streamed by both this kernel and the raster kernel).
 """
 
 from __future__ import annotations
@@ -34,51 +29,6 @@ from vkr_tpu.raster.pair_rows import (
 
 _CHUNK = 32                                 # pairs per DMA chunk
 _CHUNK_ROWS = _CHUNK * ROW_WIDTH // 128     # 16 rows of 128 lanes
-
-
-def build_resolve_rows(setup, pair_tri_aligned, corner_attrs, tri_mat):
-    """Precompute per-pair plane rows (jnp, dense).
-
-    corner_attrs: (TC, 3, K=N_CHANNELS) per-corner attribute values
-    (already near-clip mixed). tri_mat: (TC,) i32 material per clipped tri.
-    Returns (n_rows, 128) f32.
-    """
-    t = jnp.maximum(pair_tri_aligned, 0)
-    live = pair_tri_aligned >= 0
-
-    a = setup.a[t]        # (P, 3)
-    b = setup.b[t]
-    c = setup.c[t]
-    inv_w = setup.inv_w[t]  # (P, 3)
-    attrs = corner_attrs[t]  # (P, 3, K)
-
-    denom = jnp.stack(
-        [
-            (a * inv_w).sum(-1),
-            (b * inv_w).sum(-1),
-            (c * inv_w).sum(-1),
-        ],
-        axis=-1,
-    )  # (P, 3)
-
-    aw = attrs * inv_w[..., None]  # (P, 3, K) attr_i / w_i
-    ch_p = jnp.einsum("pi,pik->pk", a, aw, precision="highest")
-    ch_q = jnp.einsum("pi,pik->pk", b, aw, precision="highest")
-    ch_r = jnp.einsum("pi,pik->pk", c, aw, precision="highest")
-    # interleave (p,q,r) per channel -> (P, K, 3) -> (P, 3K)
-    ch = jnp.stack([ch_p, ch_q, ch_r], axis=-1).reshape(a.shape[0], -1)
-
-    rows = jnp.concatenate(
-        [
-            jnp.where(live, pair_tri_aligned, -1)[:, None].astype(jnp.float32),
-            jnp.where(live[:, None], denom, 0.0),
-            jnp.where(live[:, None], ch, 0.0),
-            tri_mat[t][:, None].astype(jnp.float32),
-        ],
-        axis=-1,
-    )  # (P, 32)
-    pad = jnp.zeros((_CHUNK, RESOLVE_WIDTH), jnp.float32)
-    return jnp.concatenate([rows, pad], axis=0).reshape(-1, 128)
 
 
 def _resolve_kernel(

@@ -15,10 +15,8 @@ Conventions (matching the reference):
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 

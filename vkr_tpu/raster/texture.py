@@ -12,8 +12,7 @@ scene.cpp:104-161).
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -16,8 +16,7 @@ import base64
 import dataclasses
 import json
 import os
-import struct
-from typing import Dict, List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

@@ -9,7 +9,7 @@ benchmarks exercise the same raster/shading load.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

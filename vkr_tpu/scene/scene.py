@@ -14,8 +14,7 @@ driven by TPU idioms:
 
 from __future__ import annotations
 
-import dataclasses
-from typing import List, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 
