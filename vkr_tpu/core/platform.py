@@ -22,13 +22,21 @@ def ensure_platform(platform: str | None = None) -> str:
         jax.config.update("jax_platforms", want)
 
     # Persistent compilation cache: TPU compiles go through a remote tunnel
-    # here (~minutes for the full frame graph); cache hits make re-runs fast.
-    cache_dir = os.environ.get("VKR_JAX_CACHE",
-                               "/root/repo/.jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    # here (~minutes for the full frame graph); cache hits make re-runs
+    # fast. CPU is excluded — XLA:CPU AOT artifacts embed host machine
+    # features and can SIGILL when loaded on a different host, and CPU
+    # compiles are cheap anyway.
+    if jax.default_backend() != "cpu":
+        cache_dir = os.environ.get("VKR_JAX_CACHE",
+                                   "/root/repo/.jax_cache")
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", 0
+            )
+        except Exception:
+            pass
     return jax.default_backend()
