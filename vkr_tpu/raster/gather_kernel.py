@@ -54,21 +54,22 @@ def _gather_rows(block_stack, y0, fy, n_blocks):
 
 
 def _window_gather_kernel(
-    img_hbm,     # (Hp, Wp) f32, pre-padded: rows +R+8, cols +128 each side
+    img_hbm,     # (C, Hp, Wp) f32, pre-padded: rows +R+8, cols +128/side
     off_y_ref,   # (8, 128) f32 offsets in pixels
     off_x_ref,
-    out_ref,     # (8, 128) f32
-    win,         # VMEM scratch (WR, 384)
+    out_ref,     # (C, 8, 128) f32
+    win,         # VMEM scratch (C, WR, 384)
     sem,
     *,
     radius: int,
     win_rows: int,
+    channels: int,
 ):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
 
     cp = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(ty * TILE_H, win_rows),
+        img_hbm.at[:, pl.ds(ty * TILE_H, win_rows),
                    pl.ds(tx * TILE_W, 3 * TILE_W)],
         win,
         sem,
@@ -93,18 +94,23 @@ def _window_gather_kernel(
     s_int = sx.astype(jnp.int32)
 
     n_blocks = win_rows // 8
-    out = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    outs = [jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            for _ in range(channels)]
     # Column sets of adjacent shifts overlap (shift s's right column is
-    # shift s+1's left), so row-gather each column set once.
-    v_prev = None
+    # shift s+1's left), so row-gather each column set once; the index
+    # math (y0/fy/fx/shift select) is shared across channels.
+    v_prev = [None] * channels
     for s in range(-radius, radius + 2):
-        cs = win[:, _COL_PAD + s : _COL_PAD + s + TILE_W]
-        v_cur = _gather_rows(cs, y0, fy, n_blocks)
-        if v_prev is not None:
-            val = v_prev + (v_cur - v_prev) * fx
-            out = jnp.where(s_int == (s - 1), val, out)
-        v_prev = v_cur
-    out_ref[...] = out
+        sel = s_int == (s - 1)
+        for c in range(channels):
+            cs = win[c, :, _COL_PAD + s : _COL_PAD + s + TILE_W]
+            v_cur = _gather_rows(cs, y0, fy, n_blocks)
+            if v_prev[c] is not None:
+                val = v_prev[c] + (v_cur - v_prev[c]) * fx
+                outs[c] = jnp.where(sel, val, outs[c])
+            v_prev[c] = v_cur
+    for c in range(channels):
+        out_ref[c] = outs[c]
 
 
 def _pad_image(img, radius: int):
@@ -127,22 +133,24 @@ def window_gather_bilinear(img, off_y, off_x, *, radius: int = 16,
     offsets clamped to +-radius pixels, clamp-to-edge.
 
     img: (H, W) or (H, W, C) f32; off_*: (H, W) f32 in pixel units.
+    Multi-channel images run in ONE kernel (shared index math and a single
+    windowed DMA per tile).
     """
-    if img.ndim == 3:
-        chans = [
-            window_gather_bilinear(img[..., c], off_y, off_x,
-                                   radius=radius, interpret=interpret)
-            for c in range(img.shape[-1])
-        ]
-        return jnp.stack(chans, axis=-1)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    channels = img.shape[-1]
 
-    h, w = img.shape
+    h, w = img.shape[:2]
     tiles_y = -(-h // TILE_H)
     tiles_x = -(-w // TILE_W)
     # +1 row so the y0+1 tap at the max positive offset stays in-window
     win_rows = ((TILE_H + 2 * radius + 1 + 7) // 8) * 8
 
-    img_p = _pad_image(img.astype(jnp.float32), radius)
+    img_cm = jnp.moveaxis(img.astype(jnp.float32), -1, 0)  # (C, H, W)
+    img_p = jnp.stack(
+        [_pad_image(img_cm[c], radius) for c in range(channels)], axis=0
+    )
     hp = tiles_y * TILE_H
     wp = tiles_x * TILE_W
 
@@ -152,22 +160,25 @@ def window_gather_bilinear(img, off_y, off_x, *, radius: int = 16,
 
     out = pl.pallas_call(
         functools.partial(_window_gather_kernel, radius=radius,
-                          win_rows=win_rows),
+                          win_rows=win_rows, channels=channels),
         grid=(tiles_y, tiles_x),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j)),
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j)),
         ],
-        out_specs=pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (channels, TILE_H, TILE_W), lambda i, j: (0, i, j)
+        ),
+        out_shape=jax.ShapeDtypeStruct((channels, hp, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((win_rows, 3 * TILE_W), jnp.float32),
+            pltpu.VMEM((channels, win_rows, 3 * TILE_W), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(img_p, pad2(off_y), pad2(off_x))
-    return out[:h, :w]
+    out = jnp.moveaxis(out[:, :h, :w], 0, -1)
+    return out[..., 0] if squeeze else out
 
 
 def window_gather_reference(img, off_y, off_x, radius: int = 16):
