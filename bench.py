@@ -93,6 +93,11 @@ def main():
 
     ms = float(np.median(times)) * 1e3
     cov = float(np.mean(np.asarray(state.prev_depth) < 1.0))
+    dropped = int(np.asarray(aux["overflow"]))
+    if dropped != 0:
+        print(f"ERROR: raster bin overflow — {dropped} pairs dropped "
+              f"(geometry lost; raise pair_factor)", file=sys.stderr)
+        sys.exit(1)
     print(f"coverage: {cov:.3f}  frames: {len(times)}  "
           f"min/median/max ms: {min(times)*1e3:.1f}/{ms:.1f}/"
           f"{max(times)*1e3:.1f}", file=sys.stderr)

@@ -140,16 +140,60 @@ class TestSimpleSSR:
 
 
 class TestRegistryAndGraph:
-    def test_registry(self):
+    def test_registry_resolves_live_passes(self):
         from vkr_tpu.core import registry
 
-        @registry.register("test_kernel_xyz")
-        def k(x):
-            return x
+        # The production passes registered themselves on import (frame.py
+        # builds the graph through these names).
+        import vkr_tpu.frame  # noqa: F401
+        from vkr_tpu.passes import gtao, shading, taa
 
-        assert "test_kernel_xyz" in registry.names()
-        assert registry.get("test_kernel_xyz") is k
-        registry.clear_jit_caches()  # no-op safe
+        assert registry.get("gtao_main") is gtao.gtao_main_dense
+        assert registry.get("defered_shading") is shading.deferred_shading
+        assert registry.get("taa_resolve") is taa.taa_resolve
+        for name in ("gbuf_opaque_taa", "sssr_trace", "sssr_filter",
+                     "sssr_blur", "gtao_filter", "gtao_accumulate",
+                     "downsample_hiz", "cube2oct", "trace_probe"):
+            assert name in registry.names(), name
+
+    def test_hot_reload_takes_effect_without_restart(self, tmp_path):
+        """The reference's key-R shader hot reload (main.cpp:319-321):
+        editing a registered pass module + registry.reload() changes the
+        output of an already-jitted frame-level function."""
+        import sys
+
+        import jax
+
+        from vkr_tpu.core import registry
+
+        mod_path = tmp_path / "hot_pass_mod.py"
+        mod_path.write_text(
+            "from vkr_tpu.core.registry import register\n"
+            "@register('hot_test_pass')\n"
+            "def run(x):\n"
+            "    return x * 2\n"
+        )
+        sys.path.insert(0, str(tmp_path))
+        try:
+            import hot_pass_mod  # noqa: F401
+
+            frame = registry.track_jit(
+                jax.jit(lambda x: registry.get("hot_test_pass")(x))
+            )
+            x = jnp.ones((8,))
+            assert np.asarray(frame(x))[0] == 2.0
+            mod_path.write_text(
+                "from vkr_tpu.core.registry import register\n"
+                "@register('hot_test_pass')\n"
+                "def run(x):\n"
+                "    return x * 3\n"
+            )
+            reloaded = registry.reload("hot_pass_mod")
+            assert "hot_pass_mod" in reloaded
+            assert np.asarray(frame(x))[0] == 3.0
+        finally:
+            sys.path.remove(str(tmp_path))
+            sys.modules.pop("hot_pass_mod", None)
 
     def test_pass_graph_dump(self):
         from vkr_tpu.core.graph import PassGraph, add_task

@@ -228,3 +228,29 @@ class TestInterpolation:
             sy = (c[1] / c[3] * 0.5 + 0.5) * H
             assert abs(sx - (x + 0.5)) < 0.25, (x, y, sx)
             assert abs(sy - (y + 0.5)) < 0.25, (x, y, sy)
+
+
+class TestOverflow:
+    """Bin-pair overflow must be reported, never silent (VisibilityBuffer
+    .overflow / GBuffer.overflow; bench.py exits nonzero on drop)."""
+
+    def _quad(self):
+        clip = ndc_tri_clip(
+            [[-1, -1, 0.5], [3, -1, 0.5], [-1, 3, 0.5]]
+        )
+        idx = jnp.asarray([[0, 1, 2]], jnp.int32)
+        return clip, idx
+
+    def test_healthy_run_reports_zero(self):
+        clip, idx = self._quad()
+        vis = rasterize(clip, idx, width=256, height=64,
+                        use_pallas=True, interpret=True)
+        assert int(vis.overflow) == 0
+
+    def test_capacity_exceeded_is_counted(self):
+        clip, idx = self._quad()
+        # A fullscreen triangle at 256x64 spans 2x8=16 tiles; capacity 8
+        # must report 8 dropped pairs (not silently lose geometry).
+        vis = rasterize(clip, idx, width=256, height=64,
+                        use_pallas=True, interpret=True, pair_capacity=8)
+        assert int(vis.overflow) == 8

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vkr_tpu.config import RenderConfig
+from vkr_tpu.core import registry
 from vkr_tpu.core.framestate import FrameState
 from vkr_tpu.core.graph import add_task
 from vkr_tpu.mathlib.brdf import halton23_table
@@ -24,8 +25,8 @@ from vkr_tpu.passes import downsample as _down
 from vkr_tpu.passes import gtao as _gtao
 from vkr_tpu.passes import ssr as _ssr
 from vkr_tpu.passes import taa as _taa
-from vkr_tpu.passes.gbuffer import SceneDevice, render_gbuffer
-from vkr_tpu.passes.shading import ShadingParams, deferred_shading
+from vkr_tpu.passes.gbuffer import SceneDevice
+from vkr_tpu.passes.shading import ShadingParams
 
 
 class SSRResources(NamedTuple):
@@ -38,9 +39,9 @@ class SSRResources(NamedTuple):
 
 def build_ssr_resources(lut_size: int = 1024) -> SSRResources:
     return SSRResources(
-        pdf_lut=jax.jit(_ssr.preintegrate_pdf,
+        pdf_lut=jax.jit(registry.get("pdf_preintegrate"),
                         static_argnums=0)(lut_size),
-        brdf_lut=jax.jit(_ssr.preintegrate_brdf,
+        brdf_lut=jax.jit(registry.get("brdf_preintegrate"),
                          static_argnums=0)(lut_size),
         halton=jnp.asarray(halton23_table(_ssr.HALTON_SEQ_SIZE)),
     )
@@ -96,7 +97,7 @@ def render_frame(
 
     gbuf = add_task(
         "GbufferPass",
-        lambda: render_gbuffer(
+        lambda: registry.get("gbuf_opaque_taa")(
             scene, cam.mvp, cam.prev_mvp, cam.jitter,
             width=w, height=h, quantize=cfg.quantize_formats,
             use_pallas=use_pallas, interpret=interpret,
@@ -105,7 +106,7 @@ def render_frame(
 
     hiz = add_task(
         "DownsampleGbuffer",
-        lambda: _down.build_hiz(gbuf.depth, gbuf.normal, gbuf.velocity),
+        lambda: registry.get("downsample_hiz")(gbuf.depth, gbuf.normal, gbuf.velocity),
     )
     depth_half = hiz.mips[0]
 
@@ -119,7 +120,7 @@ def render_frame(
         pyr = _ssr.pack_pyramid(hiz.mips)
         rays, ssr_occ = add_task(
             "SSSR_trace",
-            lambda: _ssr.ssr_trace(
+            lambda: registry.get("sssr_trace")(
                 pyr, hiz.normal_half, gbuf.material, ssr_res.pdf_lut, sp,
                 state.frame_index, ssr_res.halton,
                 max_iterations=cfg.ssr.max_iterations,
@@ -127,7 +128,7 @@ def render_frame(
         )
         reflections = add_task(
             "SSSR_filter",
-            lambda: _ssr.ssr_filter(
+            lambda: registry.get("sssr_filter")(
                 rays, depth_half, gbuf.albedo, hiz.normal_half,
                 gbuf.material, sp,
                 flags_normalize=cfg.ssr.normalize_filter,
@@ -143,7 +144,7 @@ def render_frame(
         )
         ssr_blurred = add_task(
             "SSSR_blur",
-            lambda: _ssr.ssr_blur(
+            lambda: registry.get("sssr_blur")(
                 reflections, depth_half, hiz.normal_half, gbuf.material,
                 state.ssr_history, hiz.velocity_half,
                 state.prev_depth_half, blur_params,
@@ -161,8 +162,8 @@ def render_frame(
         )
         base_angle = _gtao.frame_base_angle(state.frame_index)
         dirs = 2 if cfg.gtao.two_directions else 1
-        gtao_fn = (
-            _gtao.gtao_main_dense if use_pallas else _gtao.gtao_main_exact
+        gtao_fn = registry.get(
+            "gtao_main" if use_pallas else "gtao_compute_main"
         )
         raw_ao = add_task(
             "GTAO_main",
@@ -171,7 +172,7 @@ def render_frame(
         )
         filtered_ao = add_task(
             "GTAO_filter",
-            lambda: _gtao.gtao_filter(depth_half, raw_ao,
+            lambda: registry.get("gtao_filter")(depth_half, raw_ao,
                                       cfg.camera.znear, cfg.camera.zfar),
         )
         ap = _gtao.GTAOAccumParams(
@@ -181,7 +182,7 @@ def render_frame(
         )
         gtao_accum = add_task(
             "GTAO_accumulate",
-            lambda: _gtao.gtao_accumulate(
+            lambda: registry.get("gtao_accumulate")(
                 depth_half, state.prev_depth_half, filtered_ao,
                 hiz.velocity_half, state.gtao_accum, ap,
                 state.frame_index == 0,
@@ -201,7 +202,7 @@ def render_frame(
     )
     color = add_task(
         "DeferedShading",
-        lambda: deferred_shading(
+        lambda: registry.get("defered_shading")(
             gbuf, shade_params,
             occlusion=occlusion,
             reflections=ssr_blurred,
@@ -219,7 +220,7 @@ def render_frame(
         )
         final = add_task(
             "TAA",
-            lambda: _taa.taa_resolve(
+            lambda: registry.get("taa_resolve")(
                 state.taa_history, state.prev_depth, gbuf.depth,
                 gbuf.velocity, color, tp,
                 use_kernel_gather=use_pallas, interpret=interpret,
@@ -240,7 +241,8 @@ def render_frame(
         frame_index=state.frame_index + 1,
     )
     aux = {"gbuffer": gbuf, "hiz_depth": depth_half,
-           "ssr": ssr_blurred, "ao": occlusion}
+           "ssr": ssr_blurred, "ao": occlusion,
+           "overflow": gbuf.overflow}
     return final, new_state, aux
 
 

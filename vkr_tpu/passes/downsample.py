@@ -16,6 +16,8 @@ from typing import List, NamedTuple, Tuple
 
 import jax.numpy as jnp
 
+from vkr_tpu.core.registry import register
+
 
 class HiZPyramid(NamedTuple):
     mips: Tuple[jnp.ndarray, ...]   # depth mips 1..N (half-res down to 1)
@@ -40,6 +42,7 @@ def _quads(img):
     )
 
 
+@register("downsample_gbuffer")
 def downsample_gbuffer(depth, normal, velocity):
     """Full-res -> half-res (depth min + argmin-selected normal/velocity).
 
@@ -65,6 +68,7 @@ def downsample_gbuffer(depth, normal, velocity):
     return min_depth, normal_half, velocity_half
 
 
+@register("depth_mips")
 def downsample_depth_chain(depth_half) -> List[jnp.ndarray]:
     """Mips 2..N by 2x2 min (depth_downsample/shader.frag), down to 1x1-ish.
 
@@ -83,6 +87,7 @@ def downsample_depth_chain(depth_half) -> List[jnp.ndarray]:
     return mips
 
 
+@register("downsample_hiz")
 def build_hiz(depth, normal, velocity) -> HiZPyramid:
     """The full DownsampleGbuffer + DownsampleDepth chain
     (downsample_pass.cpp run())."""

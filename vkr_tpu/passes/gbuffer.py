@@ -46,6 +46,8 @@ from vkr_tpu.raster.texture import (
 )
 from vkr_tpu.scene.scene import CompiledScene
 
+from vkr_tpu.core.registry import register
+
 
 class SceneDevice(NamedTuple):
     """Device-resident scene (upload_scene). Triangles are pre-split into
@@ -94,6 +96,10 @@ class GBuffer(NamedTuple):
     material: jnp.ndarray
     velocity: jnp.ndarray
     depth: jnp.ndarray
+    # () i32 — bin pairs dropped by the raster front end across all phases.
+    # Nonzero means geometry silently vanished (pair_factor too small);
+    # bench.py and tests assert this stays 0.
+    overflow: jnp.ndarray
 
 
 DEFAULT_ALBEDO = (0.5, 0.5, 0.5, 1.0)   # opaque_taa.frag:31
@@ -164,6 +170,7 @@ def _material_texture(tex, mat_tex_idx, uv, lod, default):
     )
 
 
+@register("gbuf_opaque_taa")
 def render_gbuffer(
     scene: SceneDevice,
     view_proj,
@@ -200,6 +207,7 @@ def render_gbuffer(
                     tri_mat=scene.tri_opaque_mat, **rkw)
     depth = vis.depth
     mask = vis.tri_id >= 0
+    overflow = vis.overflow
     attrs = _resolve_attrs(
         vis, scene.tri_opaque, scene.tri_opaque_mat, scene.uvs, world_n,
         prev_clip, **akw,
@@ -209,6 +217,7 @@ def render_gbuffer(
     if has_masked:
         vis_b = rasterize(clip, scene.tri_masked,
                           tri_mat=scene.tri_masked_mat, **rkw)
+        overflow = overflow + vis_b.overflow
         attrs_b = _resolve_attrs(
             vis_b, scene.tri_masked, scene.tri_masked_mat, scene.uvs,
             world_n, prev_clip, **akw,
@@ -304,4 +313,5 @@ def render_gbuffer(
         material=material,
         velocity=velocity,
         depth=depth,
+        overflow=overflow,
     )

@@ -34,6 +34,8 @@ from vkr_tpu.mathlib.projection import (
 )
 from vkr_tpu.passes.sampling import bilinear_sample, screen_uv_grid
 
+from vkr_tpu.core.registry import register
+
 PI = math.pi
 MAX_THICKNESS = 0.1   # main.comp MAX_THIKNESS
 N_STEPS = 16          # find_horizon(..., 16, w0) in gtao_camera_space
@@ -126,6 +128,7 @@ def _common(depth_half, normal_half, params):
     return uv, camera_pos, w0, cam_n, radius_px
 
 
+@register("gtao_compute_main")
 def gtao_main_exact(depth_half, normal_half, params: GTAOParams,
                     base_angle, dirs_count: int = 1):
     """Faithful gather-based port of gtao_camera_space."""
@@ -172,6 +175,7 @@ def gtao_main_exact(depth_half, normal_half, params: GTAOParams,
     return jnp.where(depth_half >= 1.0, 0.0, ao)
 
 
+@register("gtao_main")
 def gtao_main_dense(depth_half, normal_half, params: GTAOParams,
                     base_angle, dirs_count: int = 1):
     """TPU-native dense GTAO: per direction class, march integer-pixel
@@ -247,6 +251,7 @@ def gtao_main_dense(depth_half, normal_half, params: GTAOParams,
     return jnp.where(depth_half >= 1.0, 0.0, ao)
 
 
+@register("gtao_normal_space")
 def gtao_normal_space(depth_half, normal_half, params: GTAOParams,
                       base_angle, dirs_count: int = 1):
     """main.comp gtao_normal_space (148-193): horizon march against the
@@ -326,6 +331,7 @@ def gtao_normal_space(depth_half, normal_half, params: GTAOParams,
     return jnp.where(depth_half >= 1.0, 1.0, total / dirs_count)
 
 
+@register("gtao_main_mis")
 def gtao_main_mis(depth_half, normal_half, material_full, pdf_lut,
                   ssr_occlusion, params: GTAOParams, base_angle,
                   weight_ratio: float = 1.0,
@@ -411,6 +417,7 @@ def gtao_main_mis(depth_half, normal_half, material_full, pdf_lut,
     return jnp.where(depth_half >= 1.0, 0.0, mis_ao)
 
 
+@register("deinterleave_depth")
 def deinterleave_depth(depth, pattern_step: int = 2):
     """gtao_opt/deinterleave.comp: (H, W) -> (layers, H>>n, W>>n) where
     layer = ((y & mask) << n) + (x & mask) — each layer is one phase of the
@@ -434,6 +441,7 @@ def interleave_layers(layers, pattern_step: int = 2):
     return d.reshape(h2 * s, w2 * s)
 
 
+@register("main_deinterleaved")
 def gtao_main_deinterleaved(depth_half, normal_half, params: GTAOParams,
                             base_angle, pattern_step: int = 2):
     """gtao_opt/main_deinterleaved.comp analog: run the horizon march per
@@ -456,6 +464,7 @@ def gtao_main_deinterleaved(depth_half, normal_half, params: GTAOParams,
     return interleave_layers(jnp.stack(outs), pattern_step)
 
 
+@register("gtao_filter")
 def gtao_filter(depth_half, raw_ao, znear: float, zfar: float):
     """4x4 depth-bilateral average (filter.comp:32-50): offsets -2..+1,
     weight = max(0, 1 - 5|zs - z| / |z|)."""
@@ -491,6 +500,7 @@ class GTAOAccumParams(NamedTuple):
     zfar: float
 
 
+@register("gtao_accumulate")
 def gtao_accumulate(depth_half, prev_depth_half, filtered_ao,
                     velocity_half, history, params: GTAOAccumParams,
                     clear_history, use_kernel_gather: bool = False,

@@ -31,6 +31,8 @@ from vkr_tpu.mathlib.transforms import look_at, perspective
 from vkr_tpu.mathlib.octahedral import decode_normal
 from vkr_tpu.passes.sampling import bilinear_sample, screen_uv_grid
 
+from vkr_tpu.core.registry import register
+
 ZNEAR = 0.05   # cube2oct/shader.comp:10
 ZFAR = 80.0
 TRACE_STEPS = 25
@@ -72,6 +74,7 @@ class Probe(NamedTuple):
     depth_mips: Tuple[jnp.ndarray, ...]  # oct depth pyramid, base first
 
 
+@register("cubemap_probe")
 def render_probe_cubemap(scene, position, cube_size: int = 128,
                          use_pallas: bool = True, interpret: bool = False):
     """Raster the scene 6x from `position`. Returns (color (6, S, S, 3),
@@ -142,6 +145,7 @@ def sample_cubemap(faces, direction):
     return out
 
 
+@register("cube2oct")
 def cube_to_oct(color_faces, dist_faces, oct_size: int = 256):
     """cube2oct/shader.comp: octahedral resample + planar depth encode.
 
@@ -159,6 +163,7 @@ def cube_to_oct(color_faces, dist_faces, oct_size: int = 256):
     return color, depth
 
 
+@register("probe_downsample")
 def oct_depth_pyramid(oct_depth) -> Tuple[jnp.ndarray, ...]:
     """probe_downsample: min 2x2 chain."""
     mips = [oct_depth]
@@ -369,6 +374,7 @@ def _segments(origin, inv_dir, tmin, tmax):
             jnp.full_like(b1, tmax)]
 
 
+@register("trace_probe")
 def probe_trace(depth, normal_oct, grid: ProbeGrid, inverse_view,
                 fovy, aspect, znear, zfar):
     """ProbeTracePass: per-pixel probe-grid reflection

@@ -23,6 +23,8 @@ from vkr_tpu.mathlib.projection import (
 )
 from vkr_tpu.passes.sampling import bilinear_sample, screen_uv_grid
 
+from vkr_tpu.core.registry import register
+
 PI = math.pi
 MAX_THICKNESS = 0.2   # trace.comp:38
 SAMPLES = 20          # trace.comp:39
@@ -42,6 +44,7 @@ def _gtao_direction(height, width):
     return ((((x + y) & 3) << 2) + (x & 3)).astype(jnp.float32) / 16.0
 
 
+@register("screen_trace_main")
 def screen_trace(depth, normal_oct, color, params: ScreenTraceParams,
                  angle_offset=0.0, dirs_count: int = 1):
     """integrate_direction-based SSGI: marches each pixel's dither direction
@@ -144,6 +147,7 @@ def screen_trace(depth, normal_oct, color, params: ScreenTraceParams,
                      jnp.asarray([0.0, 0.0, 0.0, 1.0]), out)
 
 
+@register("screen_trace_filter")
 def screen_trace_filter(depth, raw, znear, zfar):
     """screen_trace/filter.comp: 4x4 depth-bilateral (offsets -2..+1,
     weight 1 - |dz| / (0.1 z))."""
@@ -165,6 +169,7 @@ def screen_trace_filter(depth, raw, znear, zfar):
     return acc / jnp.maximum(wsum, 1e-20)[..., None]
 
 
+@register("screen_trace_accumulate")
 def screen_trace_accumulate(cur_depth, prev_depth, current, accum,
                             fovy, aspect, znear, zfar):
     """screen_trace/accumulate.comp: same-texel depth-validated exponential

@@ -24,6 +24,8 @@ from vkr_tpu.mathlib.octahedral import decode_normal
 from vkr_tpu.mathlib.projection import reconstruct_view_vec
 from vkr_tpu.passes.sampling import screen_uv_grid
 
+from vkr_tpu.core.registry import register
+
 LIGHT_POS = (-1.85867, 5.81832, -0.247114)   # shader.frag:36
 LIGHT_RADIANCE = (0.1, 0.1, 0.1)             # shader.frag:37
 
@@ -68,6 +70,7 @@ def sample_occlusion_ssr(depth_full, depth_half, occlusion, reflections, uv):
     return occlusion_out, reflection_out
 
 
+@register("defered_shading")
 def deferred_shading(
     gbuffer,
     params: ShadingParams,

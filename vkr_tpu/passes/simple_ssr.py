@@ -15,7 +15,10 @@ from vkr_tpu.mathlib.projection import project_view_vec, reconstruct_view_vec
 from vkr_tpu.passes.sampling import bilinear_sample, screen_uv_grid
 from vkr_tpu.passes.ssr import FlatPyramid, SSRParams, _hierarchical_march
 
+from vkr_tpu.core.registry import register
 
+
+@register("ssr")
 def simple_ssr(hiz: FlatPyramid, normal_oct, frame_color,
                params: SSRParams, max_iterations: int = 100):
     """(H, W) at the pyramid's base resolution -> (H, W, 4) reflection

@@ -16,6 +16,8 @@ import numpy as np
 from vkr_tpu.mathlib.projection import reconstruct_view_vec
 from vkr_tpu.passes.sampling import bilinear_sample, screen_uv_grid
 
+from vkr_tpu.core.registry import register
+
 SAMPLE_COUNT = 16
 
 
@@ -39,6 +41,7 @@ class SSAOParams(NamedTuple):
     zfar: float
 
 
+@register("ssao")
 def ssao(depth, params: SSAOParams, samples=None):
     """(H, W) depth -> (H, W) occlusion in [0,1] (1 = unoccluded)."""
     if samples is None:

@@ -39,6 +39,8 @@ from vkr_tpu.mathlib.projection import (
 )
 from vkr_tpu.passes.sampling import screen_uv_grid
 
+from vkr_tpu.core.registry import register
+
 PI = math.pi
 MAX_T = 3.402823466e38
 HALTON_SEQ_SIZE = 128  # advanced_ssr.cpp:6
@@ -55,6 +57,7 @@ class SSRParams(NamedTuple):
 
 # ---------------------------------------------------------------- LUTs
 
+@register("pdf_preintegrate")
 def preintegrate_pdf(size: int = 1024, steps: int = 2000):
     """GGX direction-PDF LUT (preintegrate.comp, G2 variant): integrate
     (1-t)L / (1 + t^2 - L^2/2)^2, L = (b-a)t + (b+a), t in [-1, 1]."""
@@ -78,6 +81,7 @@ def preintegrate_pdf(size: int = 1024, steps: int = 2000):
     return 2.0 / steps * acc
 
 
+@register("brdf_preintegrate")
 def preintegrate_brdf(size: int = 1024, num_samples: int = 128):
     """Split-sum environment BRDF LUT (preintegrate_ssr.comp): x =
     roughness, y = NdotV -> (A, B) with reflection = F0*A + B."""
@@ -208,6 +212,7 @@ def _shader_rand(uv):
     return s - jnp.floor(s)
 
 
+@register("sssr_trace")
 def ssr_trace(
     hiz: FlatPyramid,
     normal_half,
@@ -577,6 +582,7 @@ def _ray_weight(n, v, l, f0, roughness):
     return f * (g2 / jnp.maximum(g1, 1e-20))[..., None]
 
 
+@register("sssr_filter")
 def ssr_filter(
     rays,            # (h, w, 4) trace output
     depth_half,      # depth mip 1
@@ -609,8 +615,20 @@ def ssr_filter(
 
     albedo_quad = quad_pack(albedo_full[..., :3])
 
+    # Each tap samples radiance at the NEIGHBOR ray's hit uv — exactly the
+    # value the center tap computes at that neighbor pixel. Gather once per
+    # pixel and shift (the scattered hit-uv gather is the pass's only
+    # expensive op on TPU; 5 gathers -> 1).
+    radiance0 = jnp.where(
+        (rays[..., 3] != 1.0)[..., None],
+        bilinear_from_quad(albedo_quad, 3, rays[..., :2]),
+        0.0,
+    )
+
     pad = 1
     rays_p = jnp.pad(rays, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+    rad_p = jnp.pad(radiance0, ((pad, pad), (pad, pad), (0, 0)),
+                    mode="edge")
     depth_p = jnp.pad(depth_half, pad, mode="edge")
     normal_p = jnp.pad(normal_half, ((pad, pad), (pad, pad), (0, 0)),
                        mode="edge")
@@ -636,12 +654,7 @@ def ssr_filter(
             tr[..., :2], tr[..., 2], params.fovy, params.aspect,
             params.znear, params.zfar,
         )
-        valid = tr[..., 3] != 1.0
-        radiance = jnp.where(
-            valid[..., None],
-            bilinear_from_quad(albedo_quad, 3, tr[..., :2]),
-            0.0,
-        )
+        radiance = rad_p[pad + dy : pad + dy + h, pad + dx : pad + dx + w]
         v = -view_vec / jnp.linalg.norm(view_vec, axis=-1,
                                         keepdims=True).clip(1e-20)
         l = hit_vec - view_vec
@@ -678,6 +691,7 @@ class SSRBlurParams(NamedTuple):
 MAX_BLUR_RADIUS = 11  # sigma <= 4 -> r = floor(12 - eps)
 
 
+@register("sssr_blur")
 def ssr_blur(
     reflections,      # (h, w, 3) filtered
     depth_half,

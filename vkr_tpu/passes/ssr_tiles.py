@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 from vkr_tpu.mathlib.projection import reconstruct_view_vec
 
+from vkr_tpu.core.registry import register
+
 TILE = 8  # classification.comp TILE_SIZE
 
 
@@ -31,6 +33,7 @@ class TileClassification(NamedTuple):
     glossy_count: jnp.ndarray      # () i32
 
 
+@register("sssr_classification")
 def classify_tiles(material_full, max_roughness: float,
                    glossy_value: float) -> TileClassification:
     """Per-8x8-tile roughness vote (classification.comp): tiles whose mean
@@ -62,6 +65,7 @@ def classify_tiles(material_full, max_roughness: float,
     )
 
 
+@register("tile_regression")
 def tile_plane_regression(depth, camera_to_world, fovy, aspect, znear,
                           zfar):
     """Per-8x8-tile least-squares plane fit (regression.comp): solve the

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 from vkr_tpu.mathlib.projection import reconstruct_view_vec
 from vkr_tpu.passes.sampling import screen_uv_grid
 
+from vkr_tpu.core.registry import register
+
 
 class TAAParams(NamedTuple):
     inverse_camera: jnp.ndarray
@@ -26,6 +28,7 @@ class TAAParams(NamedTuple):
     zfar: float
 
 
+@register("taa_resolve")
 def taa_resolve(
     history_color,   # (H, W, 3)
     history_depth,   # (H, W) prev frame depth

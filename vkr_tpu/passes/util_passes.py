@@ -12,6 +12,8 @@ import jax.numpy as jnp
 
 from vkr_tpu.passes.sampling import bilinear_sample, screen_uv_grid
 
+from vkr_tpu.core.registry import register
+
 
 # ------------------------------------------------------------- perlin
 
@@ -56,6 +58,7 @@ def _interp_noise(x, y):
     return _cos_interp(_cos_interp(v1, v2, fx), _cos_interp(v3, v4, fx), fy)
 
 
+@register("perlin")
 def gen_perlin_noise2d(height: int, width: int, scale: float = 30.0):
     """util_passes gen_perlin_noise2D: octaved value noise over uv*30."""
     uv = screen_uv_grid(height, width)
@@ -118,6 +121,7 @@ class DrawTex(enum.IntEnum):
     ShowA = 4
 
 
+@register("texdraw")
 def backbuffer_draw(tex, height: int, width: int,
                     mode: DrawTex = DrawTex.ShowAll):
     """add_backbuffer_subpass analog: fullscreen textured draw with
