@@ -124,6 +124,7 @@ def render_frame(
                 pyr, hiz.normal_half, gbuf.material, ssr_res.pdf_lut, sp,
                 state.frame_index, ssr_res.halton,
                 max_iterations=cfg.ssr.max_iterations,
+                use_kernel=use_pallas, interpret=interpret,
             ),
         )
         reflections = add_task(

@@ -118,22 +118,13 @@ def _resolve_attrs(
 ):
     """Per-pixel interpolated attributes {uv, normal, prev_clip, mat_id}.
 
-    Uses the fused Pallas plane-replay kernel when the raster ran the
-    Pallas path (vis.pair_tri set); falls back to the XLA-gather resolve
-    otherwise (oracle path / tests).
+    The merged Pallas raster+resolve kernel already produced these when
+    the raster ran the Pallas path (vis.resolved set); falls back to the
+    XLA-gather resolve otherwise (oracle path / tests).
     """
-    from vkr_tpu.raster import resolve_kernel as _rk
-
     tri_mat_clipped = tri_mat[vis.src]
-    if vis.pair_tri is not None:
-        # The raster already built the shared pair rows with the resolve
-        # planes (rasterize(vertex_attrs=...)).
-        out = _rk.resolve_tiles(
-            vis.pair_rows, vis.seg_starts, vis.seg_counts,
-            vis.tri_id_padded,
-            width=width, height=height, interpret=interpret,
-        )
-        out = out[:, :height, :width]
+    if vis.resolved is not None:
+        out = vis.resolved
         return {
             "uv": jnp.moveaxis(out[0:2], 0, -1),
             "normal": jnp.moveaxis(out[2:5], 0, -1),

@@ -222,6 +222,8 @@ def ssr_trace(
     frame_random,
     halton,
     max_iterations: int = 80,
+    use_kernel: bool = False,
+    interpret: bool = False,
 ):
     """trace.comp main(): returns (ray_info (h, w, 4) = hit uvz + src depth
     [1.0 = invalid], occlusion (h, w, 2) = AO estimate + pdf)."""
@@ -289,9 +291,25 @@ def ssr_trace(
     )
     ray_dir = ray_dir * scale[..., None]
 
-    position, hor, iters = _hierarchical_march(
-        hiz, ray_start, ray_dir, view_vec, w0, params, max_iterations
-    )
+    if use_kernel:
+        # Pallas 3-phase march (ssr_march.py) — same math, no XLA
+        # gathers on the hot path.
+        from vkr_tpu.passes.ssr_march import hierarchical_march_pallas
+
+        mips = [
+            jax.lax.dynamic_slice(
+                hiz.flat, (off,), (mh * mw,)
+            ).reshape(mh, mw)
+            for off, mh, mw in zip(hiz.offsets, hiz.heights, hiz.widths)
+        ]
+        position, hor, iters = hierarchical_march_pallas(
+            mips, ray_start, ray_dir, view_vec, w0, params,
+            max_iterations, interpret=interpret,
+        )
+    else:
+        position, hor, iters = _hierarchical_march(
+            hiz, ray_start, ray_dir, view_vec, w0, params, max_iterations
+        )
     valid_hit = iters <= max_iterations
 
     # Post-march validation (trace.comp:97-122)

@@ -1,0 +1,498 @@
+"""Pallas hi-Z hierarchical ray march — the SSR trace hot loop on TPU.
+
+The reference's march (shaders/include/screen_trace.glsl:51-101 +
+advanced_ssr/trace.comp:171-236) is one gather per ray per iteration from
+a depth mip pyramid — the worst possible shape for XLA's scalarized TPU
+gather (~0.1 Gtaps/s measured). This module restructures the IDENTICAL
+math into three phases that avoid XLA gathers entirely on the hot path:
+
+  Phase A (iterations 0..15): the find_hor prefix pins every ray to mip 0
+    (trace.comp:191 `i < 15`), so a ray can move at most ~16 texels from
+    its own pixel. A Pallas kernel marches each (8,128) ray tile against
+    a tile-local mip-0 depth window DMA'd into VMEM, statically unrolled.
+
+  Phase B (iterations 16..max): surviving rays are compacted (most have
+    retired: hit, sky, out of bounds) and marched in a second kernel that
+    holds the ENTIRE mip>=1 pyramid in VMEM. Fetches use a one-hot MXU
+    gather: row-select as a (rays, R) x (R, 128) matmul, column-select as
+    a masked lane reduction. f32 accuracy survives the MXU's bf16 operand
+    truncation via a hi+lo bf16 split of the table (two matmuls,
+    |err| <= ~4e-6). Rays descending below mip 1 retire as hit
+    candidates.
+
+  Phase C: hit candidates replay a few exact mip-0 iterations with the
+    plain XLA body on the compacted set (cheap: few rays x few iters) so
+    final hit positions are bit-faithful to the reference's fine march.
+
+In-kernel gathers use the factored one-hot engine (~0.45 Gtaps/s
+amortized, ~5x XLA, independent of table size) — see ROADMAP.md "MXU
+one-hot gather engine".
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_T = 3.402823466e38
+
+# phase-A window geometry (per (8,128) ray tile, mip-0 texels)
+_WIN_H = 48    # rows: 24 up / 16 down margins around the 8-row tile
+_WIN_W = 384   # cols: 128 left / 128 right margins (128-aligned DMA)
+
+# state channel order (phase A out, phase B in/out)
+_ST = ("px", "py", "pz", "t", "mip", "hor", "done", "oob", "iters")
+N_STATE = len(_ST)
+# per-ray constants channel order
+_CN = ("ox", "oy", "oz", "dx", "dy", "dz",
+       "cx", "cy", "cz", "wx", "wy", "wz")
+N_CONS = len(_CN)
+
+
+def _derive(c):
+    """inv_dir / uv_offset / floor_offset from the direction — same as
+    ssr._hierarchical_march.make_consts."""
+    out = {}
+    for ax, (d, m) in (("x", (c["dx"], c["mx"])), ("y", (c["dy"], c["my"])),
+                       ("z", (c["dz"], None))):
+        safe = jnp.where(d == 0.0, 1.0, d)
+        out["inv_" + ax] = jnp.where(d != 0.0, 1.0 / safe, MAX_T)
+        if m is not None:
+            out["uvo_" + ax] = jnp.where(d < 0.0, -m, m)
+            out["flo_" + ax] = jnp.where(d < 0.0, 0.0, 1.0)
+    return out
+
+
+def _step(c, st, surface_z, i_scalar, *, mip0sample, min_mip,
+          fovy, aspect, znear, zfar, mip_resx, mip_resy, mpx, mpy):
+    """One march iteration given the fetched surface_z — the exact body of
+    ssr._hierarchical_march.make_body (trace.comp:191-236)."""
+    xy_plane_x = (jnp.floor(mpx) + c["flo_x"]) / mip_resx + c["uvo_x"]
+    xy_plane_y = (jnp.floor(mpy) + c["flo_y"]) / mip_resy + c["uvo_y"]
+    t_x = (xy_plane_x - c["ox"]) * c["inv_x"]
+    t_y = (xy_plane_y - c["oy"]) * c["inv_y"]
+    t_z = (surface_z - c["oz"]) * c["inv_z"]
+    t_z = jnp.where(c["dz"] > 0.0, t_z, MAX_T)
+    t_min = jnp.minimum(jnp.minimum(t_x, t_y), t_z)
+    above = surface_z > st["pz"]
+    skipped = (t_min != t_z) & above
+    new_t = jnp.clip(jnp.where(above, t_min, st["t"]), -1e20, 1e20)
+    new_px = c["ox"] + new_t * c["dx"]
+    new_py = c["oy"] + new_t * c["dy"]
+    new_pz = c["oz"] + new_t * c["dz"]
+
+    dm = jnp.where(skipped, 1, -1)
+    if mip0sample:
+        dm = jnp.zeros_like(dm)
+    new_mip = st["mip"] + dm
+
+    act = st["done"] == 0.0
+    px = jnp.where(act, new_px, st["px"])
+    py = jnp.where(act, new_py, st["py"])
+    pz = jnp.where(act, new_pz, st["pz"])
+    t = jnp.where(act, new_t, st["t"])
+    mip_out = jnp.where(act, new_mip, st["mip"])
+
+    # horizon estimate on fine mips (trace.comp:214-223)
+    tg = math.tan(fovy / 2.0)
+    z_lin = znear * zfar / (surface_z * (zfar - znear) - zfar)
+    vx = -(2.0 * px - 1.0) * (z_lin * aspect * tg) - c["cx"]
+    vy = -(2.0 * py - 1.0) * (z_lin * tg) - c["cy"]
+    vz = z_lin - c["cz"]
+    v_len = jnp.maximum(
+        jnp.sqrt(vx * vx + vy * vy + vz * vz), 1e-20
+    )
+    h2 = (c["wx"] * vx + c["wy"] * vy + c["wz"] * vz) / v_len
+    hor_upd = act & (mip_out <= 1) & (v_len < 0.3)
+    hor = jnp.where(hor_upd, jnp.maximum(st["hor"], h2), st["hor"])
+
+    iters = jnp.where(act, i_scalar + 1.0, st["iters"])
+    done = st["done"]
+    done = jnp.maximum(done, (mip_out < min_mip).astype(jnp.float32))
+    oob_pos = (
+        ((px < 0.0) & (c["dx"] <= 0.0)) | ((px > 1.0) & (c["dx"] >= 0.0))
+        | ((py < 0.0) & (c["dy"] <= 0.0)) | ((py > 1.0) & (c["dy"] >= 0.0))
+    )
+    newly_oob = act & oob_pos & (mip_out >= min_mip)
+    done = jnp.maximum(done, newly_oob.astype(jnp.float32))
+    oob = jnp.maximum(st["oob"], newly_oob.astype(jnp.float32))
+    return dict(px=px, py=py, pz=pz, t=t, mip=mip_out, hor=hor,
+                done=done, oob=oob, iters=iters)
+
+
+# ------------------------------------------------------------ phase A
+
+def _phase_a_kernel(cons_ref, depth_hbm, out_ref, win, sem, *,
+                    h, w, hp, wp, win_h, win_w, fovy, aspect, znear,
+                    zfar, n_iters):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    y0 = ty * 8
+    x0 = tx * 128
+    ys = jnp.clip(y0 - 24, 0, hp - win_h)
+    xs = jnp.clip(x0 - 128, 0, wp - win_w)
+
+    # window DMA in 128-col blocks into the flat (win_h*win_w/128, 128)
+    # scratch: flat row = wy * (win_w/128) + (wx // 128)
+    blocks = win_w // 128
+    for b in range(blocks):
+        cp = pltpu.make_async_copy(
+            depth_hbm.at[pl.ds(ys, win_h), pl.ds(xs + 128 * b, 128)],
+            win.at[pl.ds(win_h * b, win_h)],
+            sem,
+        )
+        cp.start()
+        cp.wait()
+    window = win[...]  # (blocks*win_h, 128)
+    # MXU operands truncate to bf16; split the window once so each
+    # iteration's two matmuls reconstruct f32-grade depth
+    win_hi = window.astype(jnp.bfloat16).astype(jnp.float32)
+    win_lo = window - win_hi
+
+    c = {k: cons_ref[i] for i, k in enumerate(_CN)}
+    c["mx"] = 0.005 / w
+    c["my"] = 0.005 / h
+    c.update(_derive(c))
+
+    zero = jnp.zeros((8, 128), jnp.float32)
+    st = dict(px=c["ox"], py=c["oy"], pz=c["oz"], t=zero,
+              mip=jnp.zeros((8, 128), jnp.int32), hor=zero, done=zero,
+              oob=zero, iters=zero)
+
+    # initial_advance_ray (screen_trace.glsl:8-15) at mip 0
+    cpx = w * c["ox"]
+    cpy = h * c["oy"]
+    t0x = ((jnp.floor(cpx) + c["flo_x"]) / w + c["uvo_x"] - c["ox"]) \
+        * c["inv_x"]
+    t0y = ((jnp.floor(cpy) + c["flo_y"]) / h + c["uvo_y"] - c["oy"]) \
+        * c["inv_y"]
+    ct = jnp.minimum(t0x, t0y)
+    st["t"] = ct
+    st["px"] = c["ox"] + ct * c["dx"]
+    st["py"] = c["oy"] + ct * c["dy"]
+    st["pz"] = c["oz"] + ct * c["dz"]
+
+    row_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (8, 128, blocks * win_h), 2
+    )
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 2)
+
+    for i in range(n_iters):  # static unroll (mip stays 0 for i < 15)
+        # during the prefix mip == 0 for every live ray; i == 15 performs
+        # the first hierarchical step but still fetches at mip 0
+        mpx = w * st["px"]
+        mpy = h * st["py"]
+        xi = jnp.clip(mpx.astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(mpy.astype(jnp.int32), 0, h - 1)
+        ly = jnp.clip(yi - ys, 0, win_h - 1)
+        lx = jnp.clip(xi - xs, 0, win_w - 1)
+        frow = (lx >> 7) * win_h + ly
+        fcol = lx & 127
+        oh = (frow[..., None] == row_iota).astype(jnp.float32)
+        rs = jnp.einsum("slh,hw->slw", oh, win_hi,
+                        preferred_element_type=jnp.float32)
+        rs = rs + jnp.einsum("slh,hw->slw", oh, win_lo,
+                             preferred_element_type=jnp.float32)
+        colh = fcol[..., None] == col_iota
+        surface_z = jnp.where(colh, rs, 0.0).sum(-1)
+
+        st = _step(c, st, surface_z, float(i),
+                   mip0sample=(i < 15), min_mip=0, fovy=fovy,
+                   aspect=aspect, znear=znear, zfar=zfar,
+                   mip_resx=float(w), mip_resy=float(h),
+                   mpx=mpx, mpy=mpy)
+
+    for i, k in enumerate(_ST):
+        out_ref[i] = st[k].astype(jnp.float32)
+
+
+# ------------------------------------------------------------ phase B
+
+def _phase_b_kernel(cs_ref, hi_ref, lo_ref, out_ref, *,
+                    h, w, offsets, widths, heights, fovy, aspect,
+                    znear, zfar, start_iter, max_iterations):
+    c = {k: cs_ref[i] for i, k in enumerate(_CN)}
+    c["mx"] = 0.005 / w
+    c["my"] = 0.005 / h
+    c.update(_derive(c))
+    st = {k: cs_ref[N_CONS + i] for i, k in enumerate(_ST)}
+    st["mip"] = st["mip"].astype(jnp.int32)
+
+    n_levels = len(offsets)
+    R = hi_ref.shape[0]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, R), 2)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 2)
+    hi = hi_ref[...]
+    lo = lo_ref[...]
+
+    def cond(carry):
+        i, st = carry
+        return (i < max_iterations) & jnp.any(st["done"] == 0.0)
+
+    def body(carry):
+        i, st = carry
+        mipf = st["mip"].astype(jnp.float32)
+        mip_resx = w * jnp.exp2(-mipf)
+        mip_resy = h * jnp.exp2(-mipf)
+        mip = jnp.clip(st["mip"], 1, n_levels)  # fetch level (1-based)
+        mpx = mip_resx * st["px"]
+        mpy = mip_resy * st["py"]
+        xi = mpx.astype(jnp.int32)
+        yi = mpy.astype(jnp.int32)
+        # per-level clamp + flat offset via static where-chains
+        off = jnp.full_like(xi, offsets[0])
+        wl = jnp.full_like(xi, widths[0])
+        hl = jnp.full_like(xi, heights[0])
+        for lvl in range(2, n_levels + 1):
+            sel = mip == lvl
+            off = jnp.where(sel, offsets[lvl - 1], off)
+            wl = jnp.where(sel, widths[lvl - 1], wl)
+            hl = jnp.where(sel, heights[lvl - 1], hl)
+        xi = jnp.clip(xi, 0, wl - 1)
+        yi = jnp.clip(yi, 0, hl - 1)
+        flat = off + yi * wl + xi
+        oh = ((flat >> 7)[..., None] == row_iota).astype(jnp.bfloat16)
+        rs = jnp.einsum("slh,hw->slw", oh, hi,
+                        preferred_element_type=jnp.float32)
+        rs = rs + jnp.einsum("slh,hw->slw", oh, lo,
+                             preferred_element_type=jnp.float32)
+        colh = (flat & 127)[..., None] == col_iota
+        surface_z = jnp.where(colh, rs, 0.0).sum(-1)
+
+        st = _step(c, st, surface_z, i.astype(jnp.float32),
+                   mip0sample=False, min_mip=1, fovy=fovy, aspect=aspect,
+                   znear=znear, zfar=zfar,
+                   mip_resx=mip_resx, mip_resy=mip_resy, mpx=mpx, mpy=mpy)
+        return i + 1, st
+
+    _, st = jax.lax.while_loop(
+        cond, body, (jnp.asarray(start_iter, jnp.int32), st)
+    )
+    for i, k in enumerate(_ST):
+        out_ref[i] = st[k].astype(jnp.float32)
+
+
+# -------------------------------------------------------------- driver
+
+def _pad2(a, hp, wp, value):
+    h, w = a.shape[:2]
+    return jnp.pad(a, ((0, hp - h), (0, wp - w)) + ((0, 0),) * (a.ndim - 2),
+                   constant_values=value)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shapes", "fovy", "aspect", "znear", "zfar",
+                     "max_iterations", "compact_frac", "refine_iters",
+                     "interpret"),
+)
+def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
+                fovy, aspect, znear, zfar, max_iterations, compact_frac,
+                refine_iters, interpret):
+    h, w = shapes[0]
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    win_h = min(_WIN_H, hp)
+    win_w = min(_WIN_W, wp)
+
+    # per-ray constants, padded so pad rays retire out-of-bounds at once
+    cons = jnp.stack(
+        [origin[..., 0], origin[..., 1], origin[..., 2],
+         direction[..., 0], direction[..., 1], direction[..., 2],
+         camera_start[..., 0], camera_start[..., 1], camera_start[..., 2],
+         w0[..., 0], w0[..., 1], w0[..., 2]], axis=0,
+    )  # (12, h, w)
+    pad_vals = (2.0, 2.0, 0.5, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)
+    cons = jnp.stack(
+        [_pad2(cons[i], hp, wp, pad_vals[i]) for i in range(N_CONS)]
+    )
+    depth0 = _pad2(mips[0], hp, wp, 1.0)
+
+    n_a = min(16, max_iterations)
+    grid_a = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(hp // 8, wp // 128),
+        in_specs=[
+            pl.BlockSpec((N_CONS, 8, 128), lambda i, j: (0, i, j)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((N_STATE, 8, 128), lambda i, j: (0, i, j)),
+        scratch_shapes=[
+            pltpu.VMEM(((win_w // 128) * win_h, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    state = pl.pallas_call(
+        functools.partial(
+            _phase_a_kernel, h=h, w=w, hp=hp, wp=wp, win_h=win_h,
+            win_w=win_w, fovy=fovy, aspect=aspect, znear=znear,
+            zfar=zfar, n_iters=n_a,
+        ),
+        grid_spec=grid_a,
+        out_shape=jax.ShapeDtypeStruct((N_STATE, hp, wp), jnp.float32),
+        interpret=interpret,
+    )(cons, depth0)
+
+    if max_iterations > n_a:
+        # ---- compact actives (sorted actives-first), phase B, scatter
+        n_px = hp * wp
+        cs = jnp.concatenate(
+            [cons.reshape(N_CONS, n_px), state.reshape(N_STATE, n_px)]
+        )  # (21, n_px)
+        cap = max(1024, int(n_px * compact_frac) // 1024 * 1024)
+        done_f = cs[N_CONS + _ST.index("done")] > 0.5
+        key = done_f.astype(jnp.int32) * (1 << 24) + jnp.arange(
+            n_px, dtype=jnp.int32
+        )
+        idx = (jnp.sort(key)[:cap]) & ((1 << 24) - 1)
+        comp = cs.T[idx].T  # one row gather: (21, cap)
+
+        # full mip>=1 pyramid, flat (R, 128), bf16 hi + residual lo
+        flat1 = jnp.concatenate([m.reshape(-1) for m in mips[1:]])
+        rpad = (-flat1.shape[0]) % 128
+        flat1 = jnp.pad(flat1, (0, rpad), constant_values=1.0)
+        tbl = flat1.reshape(-1, 128)
+        tbl_hi = tbl.astype(jnp.bfloat16)
+        tbl_lo = (tbl - tbl_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        offsets, widths, heights = [], [], []
+        off = 0
+        for (mh, mw) in shapes[1:]:
+            offsets.append(off)
+            widths.append(mw)
+            heights.append(mh)
+            off += mh * mw
+
+        grid_b = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(cap // 1024,),
+            in_specs=[
+                pl.BlockSpec((N_CONS + N_STATE, 8, 128),
+                             lambda i: (0, i, 0)),
+                pl.BlockSpec(tbl.shape, lambda i: (0, 0)),
+                pl.BlockSpec(tbl.shape, lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((N_STATE, 8, 128), lambda i: (0, i, 0)),
+        )
+        comp_blocks = comp.reshape(N_CONS + N_STATE, cap // 128, 128)
+        st_b = pl.pallas_call(
+            functools.partial(
+                _phase_b_kernel, h=h, w=w, offsets=tuple(offsets),
+                widths=tuple(widths), heights=tuple(heights), fovy=fovy,
+                aspect=aspect, znear=znear, zfar=zfar, start_iter=n_a,
+                max_iterations=max_iterations,
+            ),
+            grid_spec=grid_b,
+            out_shape=jax.ShapeDtypeStruct(
+                (N_STATE, cap // 128, 128), jnp.float32
+            ),
+            interpret=interpret,
+        )(comp_blocks, tbl_hi, tbl_lo)
+        st_b = st_b.reshape(N_STATE, cap)
+
+        # ---- phase C: exact mip-0 refinement of hit candidates (XLA)
+        if refine_iters > 0:
+            st_b = _refine(st_b, comp[:N_CONS], mips, shapes, fovy,
+                           aspect, znear, zfar, refine_iters,
+                           max_iterations)
+
+        # scatter the compacted results back; actives beyond capacity
+        # are dropped as invalid (same policy as the XLA path)
+        selected = jnp.zeros((n_px,), bool).at[idx].set(True)
+        dropped = ~done_f & ~selected
+        state_f = state.reshape(N_STATE, n_px).at[:, idx].set(st_b)
+        di = _ST.index("done")
+        oi = _ST.index("oob")
+        state_f = state_f.at[di].set(
+            jnp.where(dropped, 0.0, state_f[di])
+        )
+        state_f = state_f.at[oi].set(
+            jnp.where(dropped, 1.0, state_f[oi])
+        )
+        state = state_f.reshape(N_STATE, hp, wp)
+
+    def ch(k):
+        return state[_ST.index(k), :h, :w]
+
+    done = ch("done") > 0.5
+    oob = ch("oob") > 0.5
+    iters = jnp.where(done & ~oob, ch("iters").astype(jnp.int32),
+                      max_iterations + 1)
+    position = jnp.stack([ch("px"), ch("py"), ch("pz")], axis=-1)
+    position = jnp.where(jnp.isfinite(position), position, 0.0)
+    position = jnp.clip(position, -1e6, 1e6)
+    return position, ch("hor"), iters
+
+
+def _refine(st_b, cons_b, mips, shapes, fovy, aspect, znear, zfar,
+            refine_iters, max_iterations):
+    """Replay up to `refine_iters` exact iterations (all mips, XLA
+    gathers on the small compacted set) for rays phase B retired as
+    mip<1 hit candidates, recovering the reference's fine-mip hit
+    positions. Rays still marching afterwards are invalid (they would
+    re-climb; the XLA path retires them the same way at the cap)."""
+    from vkr_tpu.passes.ssr import fetch_pyramid, pack_pyramid
+
+    pyr = pack_pyramid(mips)
+    h, w = shapes[0]
+    c = {k: cons_b[i] for i, k in enumerate(_CN)}
+    c["mx"] = 0.005 / w
+    c["my"] = 0.005 / h
+    c.update(_derive(c))
+    st = {k: st_b[i] for i, k in enumerate(_ST)}
+
+    cand = (st["done"] > 0.5) & (st["oob"] < 0.5) & (st["mip"] < 1.0)
+    st["done"] = jnp.where(cand, 0.0, st["done"])
+    st["mip"] = jnp.where(cand, 0.0, st["mip"])
+    n_mips = len(shapes)
+
+    def body(j, st):
+        mip = st["mip"].astype(jnp.int32)
+        mipf = jnp.clip(mip, 0, n_mips - 1).astype(jnp.float32)
+        mip_resx = w * jnp.exp2(-mipf)
+        mip_resy = h * jnp.exp2(-mipf)
+        mpx = mip_resx * st["px"]
+        mpy = mip_resy * st["py"]
+        surface_z = fetch_pyramid(
+            pyr, jnp.clip(mip, 0, n_mips - 1),
+            mpx.astype(jnp.int32), mpy.astype(jnp.int32),
+        )
+        # per-ray iteration index: iters counts completed iterations
+        return _step(c, st, surface_z, st["iters"],
+                     mip0sample=False, min_mip=0, fovy=fovy,
+                     aspect=aspect, znear=znear, zfar=zfar,
+                     mip_resx=mip_resx, mip_resy=mip_resy,
+                     mpx=mpx, mpy=mpy)
+
+    def step_guard(j, st):
+        st2 = body(j, st)
+        # stop advancing rays past the iteration cap
+        over = st["iters"] >= max_iterations
+        return {k: jnp.where(over, st[k], st2[k]) for k in st}
+
+    st = jax.lax.fori_loop(0, refine_iters, step_guard, st)
+    return jnp.stack([st[k] for k in _ST])
+
+
+def hierarchical_march_pallas(mips, origin, direction, camera_start, w0,
+                              params, max_iterations,
+                              compact_frac: float = 0.25,
+                              refine_iters: int = 4,
+                              interpret: bool = False):
+    """Drop-in Pallas replacement for ssr._hierarchical_march
+    (find_hor=True). mips: list of (h_l, w_l) depth arrays (the hi-Z
+    pyramid). Returns (position (h, w, 3), hor (h, w), iters (h, w))."""
+    shapes = tuple((int(m.shape[0]), int(m.shape[1])) for m in mips)
+    return _march_impl(
+        tuple(mips), origin, direction, camera_start, w0, shapes=shapes,
+        fovy=float(params.fovy), aspect=float(params.aspect),
+        znear=float(params.znear), zfar=float(params.zfar),
+        max_iterations=int(max_iterations),
+        compact_frac=float(compact_frac),
+        refine_iters=int(refine_iters), interpret=bool(interpret),
+    )

@@ -4,17 +4,23 @@ The one genuinely new native component of the TPU build (SURVEY.md §7 hard
 part 1): replaces Vulkan fixed-function rasterization. The frame's triangle
 work lists (setup.py binning) are walked per (tile_h, tile_w) pixel tile;
 each tile keeps its depth/tri-id state in registers, streams its binned
-triangle setup rows HBM -> SMEM by async DMA (SMEM is untiled, so the
-16-float rows are legal to slice), and the scalar unit feeds per-triangle
-edge/depth plane coefficients to full-tile VPU ops. LESS_OR_EQUAL depth
-wins; output is a visibility buffer (depth + winning triangle id).
-Attribute interpolation and texturing happen in a separate deferred resolve
-pass (resolve.py) so the hot loop stays gather-free.
+triangle setup rows HBM -> SMEM with DOUBLE-BUFFERED async DMA (SMEM is
+untiled, so the 64-float rows are legal to slice), and the scalar unit
+feeds per-triangle edge/depth plane coefficients to full-tile VPU ops.
+LESS_OR_EQUAL depth wins; output is a visibility buffer (depth + winning
+triangle id).
+
+Two kernels share the machinery:
+  * `_raster_kernel` — visibility only (depth + tri id); used when no
+    vertex attributes are requested.
+  * `gbuf_kernel.gbuf_tiles` — the merged raster + attribute-resolve
+    kernel (one pass over the segments, selecting the winning pair's
+    resolve-plane coefficients per pixel); used for G-buffer rendering.
 
 Memory layout: pair rows are the shared 64-f32 layout of
-raster/pair_rows.py (raster fields + resolve planes in one row, built with
-a single gather); the buffer is viewed as (n_rows, 128) and tile segments
-are aligned to PAIR_ALIGN pairs so chunk DMAs are whole aligned rows.
+raster/pair_rows.py; the buffer is viewed as (n_rows, 128). Segments are
+dense (unaligned, setup.bin_triangles); each tile rounds its DMA start
+down to an 8-row boundary and skips the leading pairs.
 """
 
 from __future__ import annotations
@@ -28,21 +34,45 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Pair rows are the shared 64-f32 layout of raster/pair_rows.py (raster
 # fields at [0:16), resolve fields at [16:64)).
-from vkr_tpu.raster.pair_rows import ROW_WIDTH, PAIRS_PER_ROW
+from vkr_tpu.raster.pair_rows import PAIRS_PER_ROW, ROW_WIDTH
 
 SETUP_WIDTH = ROW_WIDTH
 _CHUNK = 32                          # pairs per DMA chunk
 _CHUNK_ROWS = _CHUNK * ROW_WIDTH // 128  # 16 rows of 128 lanes
+_ROW_ALIGN = 8                       # DMA start rounded to 8 rows
+
+
+def segment_window(starts_ref, counts_ref, tile_id):
+    """(row0, skip, total): aligned DMA start row, leading pairs to skip,
+    and total pairs (skip + count) to walk for this tile's segment."""
+    start = starts_ref[tile_id]
+    count = counts_ref[tile_id]
+    row0 = (start // PAIRS_PER_ROW) // _ROW_ALIGN * _ROW_ALIGN
+    skip = start - row0 * PAIRS_PER_ROW  # in [0, _ROW_ALIGN*PAIRS_PER_ROW)
+    return row0, skip, skip + count
+
+
+def chunk_dma(pair_hbm, scratch, sem, row0):
+    """Double-buffer helper: DMA chunk `ci` into scratch slot `slot`."""
+
+    def get(slot, ci):
+        return pltpu.make_async_copy(
+            pair_hbm.at[pl.ds(row0 + ci * _CHUNK_ROWS, _CHUNK_ROWS)],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    return get
 
 
 def _raster_kernel(
-    starts_ref,   # scalar prefetch: (n_tiles,) i32 aligned segment starts
-    counts_ref,   # scalar prefetch: (n_tiles,) i32 true pair counts
+    starts_ref,   # scalar prefetch: (n_tiles,) i32 dense segment starts
+    counts_ref,   # scalar prefetch: (n_tiles,) i32 pair counts
     pair_hbm,     # (n_rows, 128) f32 pair buffer (2 pairs per row), HBM
     zbuf_ref,     # out: (TH, TW) f32
     tid_ref,      # out: (TH, TW) i32
-    scratch,      # SMEM (_CHUNK_ROWS, 128) f32
-    sem,          # DMA semaphore
+    scratch,      # SMEM (2, _CHUNK_ROWS, 128) f32 double buffer
+    sem,          # DMA semaphores (2,)
     *,
     tile_h: int,
     tile_w: int,
@@ -52,9 +82,8 @@ def _raster_kernel(
     tiles_x = pl.num_programs(1)
     tile_id = ty * tiles_x + tx
 
-    start = starts_ref[tile_id]          # multiple of PAIR_ALIGN
-    count = counts_ref[tile_id]
-    row0 = start // PAIRS_PER_ROW
+    row0, skip, total = segment_window(starts_ref, counts_ref, tile_id)
+    get_dma = chunk_dma(pair_hbm, scratch, sem, row0)
 
     px = (
         jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
@@ -67,23 +96,29 @@ def _raster_kernel(
 
     zbuf0 = jnp.ones((tile_h, tile_w), jnp.float32)
     tid0 = jnp.full((tile_h, tile_w), -1.0, jnp.float32)
+    num_chunks = pl.cdiv(total, _CHUNK)
+
+    @pl.when(num_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
 
     def chunk_body(ci, carry):
         zbuf, tid = carry
-        cp = pltpu.make_async_copy(
-            pair_hbm.at[pl.ds(row0 + ci * _CHUNK_ROWS, _CHUNK_ROWS)],
-            scratch,
-            sem,
-        )
-        cp.start()
-        cp.wait()
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < num_chunks)
+        def _():
+            get_dma(1 - slot, ci + 1).start()
+
+        get_dma(slot, ci).wait()
         base = ci * _CHUNK
         for t in range(_CHUNK):  # static unroll; static SMEM indices
-            valid = (base + t) < count
+            g = base + t
+            valid = (g >= skip) & (g < total)
             flat = t * ROW_WIDTH
 
             def f(k, flat=flat):
-                return scratch[(flat + k) // 128, (flat + k) % 128]
+                return scratch[slot, (flat + k) // 128, (flat + k) % 128]
 
             e0 = f(0) * px + f(3) * py + f(6)
             e1 = f(1) * px + f(4) * py + f(7)
@@ -97,18 +132,17 @@ def _raster_kernel(
             tid = jnp.where(cover, f(12), tid)
         return zbuf, tid
 
-    num_chunks = pl.cdiv(count, _CHUNK)
     zbuf, tid = jax.lax.fori_loop(0, num_chunks, chunk_body, (zbuf0, tid0))
     zbuf_ref[...] = zbuf
     tid_ref[...] = tid.astype(jnp.int32)
 
 
-def build_pair_setup(setup, pair_tri_aligned):
+def build_pair_setup(setup, pair_tri_sorted):
     """Back-compat shim: build visibility-only 64-wide pair rows (see
     raster/pair_rows.py for the shared layout)."""
     from vkr_tpu.raster.pair_rows import build_tri_rows, expand_pair_rows
 
-    return expand_pair_rows(build_tri_rows(setup), pair_tri_aligned)
+    return expand_pair_rows(build_tri_rows(setup), pair_tri_sorted)
 
 
 @functools.partial(
@@ -143,8 +177,8 @@ def rasterize_tiles(
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
         ],
         scratch_shapes=[
-            pltpu.SMEM((_CHUNK_ROWS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((2, _CHUNK_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     zbuf, tid = pl.pallas_call(

@@ -27,7 +27,7 @@ PAIRS_PER_ROW = 128 // ROW_WIDTH  # 2
 RASTER_BASE = 0
 RESOLVE_BASE = 16
 N_CHANNELS = 9
-_CHUNK = 32  # pairs per kernel DMA chunk (kernel.py/_resolve_kernel)
+_CHUNK = 32  # pairs per kernel DMA chunk (kernel.py/gbuf_kernel.py)
 
 
 def build_tri_rows(setup, corner_attrs=None, tri_mat=None):
@@ -71,15 +71,17 @@ def build_tri_rows(setup, corner_attrs=None, tri_mat=None):
     )
 
 
-def expand_pair_rows(tri_rows, pair_tri_aligned):
-    """One gather: (TC, 64) x (CAP_AL,) -> flat (n_rows, 128) pair buffer.
+def expand_pair_rows(tri_rows, pair_tri_sorted):
+    """One gather: (TC, 64) x (CAP,) -> flat (n_rows, 128) pair buffer.
 
-    Dead pairs (id -1) get c = -1 edges (never cover) and id -1."""
-    t = jnp.maximum(pair_tri_aligned, 0)
+    Dead pairs (id -1) get c = -1 edges (never cover) and id -1. The tail
+    is padded by 2 chunks so a segment starting near the end can round its
+    DMA start down to an aligned row and still read whole chunks."""
+    t = jnp.maximum(pair_tri_sorted, 0)
     rows = tri_rows[t]
-    live = (pair_tri_aligned >= 0)[:, None]
+    live = (pair_tri_sorted >= 0)[:, None]
     dead = jnp.zeros((1, ROW_WIDTH), jnp.float32)
     dead = dead.at[0, 6:9].set(-1.0).at[0, 12].set(-1.0).at[0, 46].set(-1.0)
     rows = jnp.where(live, rows, dead)
-    pad = jnp.zeros((_CHUNK, ROW_WIDTH), jnp.float32)
+    pad = jnp.zeros((2 * _CHUNK, ROW_WIDTH), jnp.float32)
     return jnp.concatenate([rows, pad], axis=0).reshape(-1, 128)

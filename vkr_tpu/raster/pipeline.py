@@ -24,13 +24,10 @@ class VisibilityBuffer(NamedTuple):
     src: jnp.ndarray        # (TC,) source triangle ids
     corners: jnp.ndarray    # (TC, 3, 4) clip-space corner positions
     overflow: jnp.ndarray   # () i32 dropped bin pairs (0 = healthy)
-    # Binning products (None on the jnp-oracle path), reused by the fused
-    # Pallas resolve kernel (resolve_kernel.py):
-    pair_tri: Optional[jnp.ndarray] = None    # (CAP_AL,) i32
-    seg_starts: Optional[jnp.ndarray] = None  # (n_tiles,) i32
-    seg_counts: Optional[jnp.ndarray] = None  # (n_tiles,) i32
-    tri_id_padded: Optional[jnp.ndarray] = None  # (H', W') tile-aligned
-    pair_rows: Optional[jnp.ndarray] = None   # (n, 128) shared pair rows
+    # Resolved per-pixel attributes from the merged Pallas raster+resolve
+    # kernel (gbuf_kernel.py), set when vertex_attrs were passed:
+    # (N_CHANNELS + 1, H, W) = [uv(2), normal(3), prev_clip(4), mat_id].
+    resolved: Optional[jnp.ndarray] = None
 
 
 def rasterize(
@@ -75,36 +72,36 @@ def rasterize(
                             4 * n_tiles, 4096)
 
     if use_pallas:
+        from vkr_tpu.raster import gbuf_kernel as _gk
         from vkr_tpu.raster import pair_rows as _rows
         from vkr_tpu.raster.resolve import corner_attributes
 
         pair_tri, seg_starts, seg_counts, overflow = _setup.bin_triangles(
             setup, width, height, tile_h, tile_w, pair_capacity
         )
+        kw = dict(width=width, height=height, tile_h=tile_h,
+                  tile_w=tile_w, interpret=interpret)
         if vertex_attrs is not None:
+            # Merged raster + resolve: one pass over the segments.
             cattrs = corner_attributes(vertex_attrs, indices, weights, src)
             tri_rows = _rows.build_tri_rows(setup, cattrs, tri_mat[src])
+            pair_setup = _rows.expand_pair_rows(tri_rows, pair_tri)
+            zbuf, tid, attrs = _gk.gbuf_tiles(
+                pair_setup, seg_starts, seg_counts, **kw
+            )
+            resolved = attrs[:, :height, :width]
         else:
             tri_rows = _rows.build_tri_rows(setup)
-        pair_setup = _rows.expand_pair_rows(tri_rows, pair_tri)
-        zbuf, tid = _kernel.rasterize_tiles(
-            pair_setup,
-            seg_starts,
-            seg_counts,
-            width=width,
-            height=height,
-            tile_h=tile_h,
-            tile_w=tile_w,
-            interpret=interpret,
-        )
-        tid_padded = tid
+            pair_setup = _rows.expand_pair_rows(tri_rows, pair_tri)
+            zbuf, tid = _kernel.rasterize_tiles(
+                pair_setup, seg_starts, seg_counts, **kw
+            )
+            resolved = None
         zbuf = zbuf[:height, :width]
         tid = tid[:height, :width]
         return VisibilityBuffer(
             depth=zbuf, tri_id=tid, setup=setup, weights=weights, src=src,
-            corners=corners, overflow=overflow, pair_tri=pair_tri,
-            seg_starts=seg_starts, seg_counts=seg_counts,
-            tri_id_padded=tid_padded, pair_rows=pair_setup,
+            corners=corners, overflow=overflow, resolved=resolved,
         )
 
     zbuf, tid = _kernel.rasterize_reference(setup, width, height)

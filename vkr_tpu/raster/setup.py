@@ -240,7 +240,8 @@ def triangle_setup(
     )
 
 
-PAIR_ALIGN = 8  # tile segments aligned to 8 pairs (= one 128-lane row)
+PAIR_ALIGN = 8  # kernel DMA row alignment (segments may start anywhere;
+                # kernels round the start down and skip, see kernel.py)
 
 
 def bin_triangles(
@@ -251,16 +252,19 @@ def bin_triangles(
     tile_w: int,
     pair_capacity: int,
 ):
-    """Expand triangles into per-tile work lists + aligned segment table.
+    """Expand triangles into per-tile work lists (sorted segment layout).
 
     The reference leans on the hardware rasterizer's own binning; here this
-    is the Pallas kernel's work list. Dataflow only: counts -> exclusive
-    cumsum -> repeat -> sort by tile id -> scatter into segments whose
-    starts are aligned to PAIR_ALIGN pairs (so the kernel's DMA row slices
-    land on 128-lane boundaries).
+    is the Pallas kernel's work list. Every op here is priced by the pair
+    capacity on TPU (gathers/sorts are scalarized), so the layout is built
+    with the MINIMUM of them: one row-repeat (the only gather), one
+    single-key sort (tile id and triangle id packed into one int32 — no
+    argsort + payload gather), one vectorized searchsorted for the segment
+    table. Segments are dense (unaligned); the kernels round the DMA start
+    down to an aligned row and skip the leading pairs.
 
-    Returns (pair_tri (CAP_AL,) int32 segment layout (-1 = padding),
-    seg_starts (n_tiles,) int32 aligned starts, seg_counts (n_tiles,) int32,
+    Returns (pair_tri (CAP,) int32 sorted segment layout (-1 = padding),
+    seg_starts (n_tiles,) int32 dense starts, seg_counts (n_tiles,) int32,
     overflow () int32 — dropped pairs, 0 in healthy runs).
     """
     tiles_x = -(-width // tile_w)
@@ -278,54 +282,50 @@ def bin_triangles(
     starts = jnp.cumsum(counts) - counts  # exclusive prefix
     total = starts[-1] + counts[-1] if counts.shape[0] > 0 else 0
     cap = pair_capacity
+    n_tri = counts.shape[0]
 
-    tri_ids = jnp.arange(counts.shape[0], dtype=jnp.int32)
-    pair_tri = jnp.repeat(
-        tri_ids, counts, total_repeat_length=cap
-    )  # (CAP,) padded with the last id when total < cap
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    pair_valid = slot < jnp.minimum(total, cap)
-    # One packed gather for the per-pair triangle fields (separate gathers
-    # are each priced by the full pair count on TPU).
+    # One fused row-repeat for every per-pair triangle field (each separate
+    # gather costs ~the full pair count in scalarized taps).
+    tri_ids = jnp.arange(n_tri, dtype=jnp.int32)
     tri_tbl = jnp.stack(
         [starts.astype(jnp.int32), bx0.astype(jnp.int32),
-         by0.astype(jnp.int32), jnp.maximum(wspan, 1).astype(jnp.int32)],
+         by0.astype(jnp.int32), jnp.maximum(wspan, 1).astype(jnp.int32),
+         tri_ids],
         axis=-1,
-    )  # (T, 4)
-    pv = tri_tbl[pair_tri]  # (CAP, 4)
+    )  # (T, 5)
+    pv = jnp.repeat(tri_tbl, counts, axis=0, total_repeat_length=cap)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    pair_valid = slot < jnp.minimum(total, cap)
     kk = slot - pv[:, 0]
     tx = pv[:, 1] + kk % pv[:, 3]
     ty = pv[:, 2] + kk // pv[:, 3]
     tile_id = jnp.where(pair_valid, ty * tiles_x + tx, n_tiles)
+    pair_tri = pv[:, 4]
 
-    order = jnp.argsort(tile_id)
-    tile_sorted = tile_id[order]
-    pair_tri_sorted = jnp.where(
-        tile_sorted < n_tiles, pair_tri[order], -1
-    ).astype(jnp.int32)
+    # Pack (tile, tri) into one sort key: a plain jnp.sort of one int32
+    # array replaces argsort + two payload gathers. A triangle contributes
+    # at most one pair per tile, so in-tile order by triangle id equals the
+    # old in-tile order by emission slot.
+    shift = max(n_tri, 1).bit_length()
+    if (n_tiles + 1) << shift <= 2**31:
+        key = (tile_id << shift) | pair_tri
+        skey = jnp.sort(key)
+        tile_sorted = skey >> shift
+        pair_tri_sorted = jnp.where(
+            tile_sorted < n_tiles, skey & ((1 << shift) - 1), -1
+        ).astype(jnp.int32)
+    else:  # huge scenes: fall back to argsort + gather
+        order = jnp.argsort(tile_id)
+        tile_sorted = tile_id[order]
+        pair_tri_sorted = jnp.where(
+            tile_sorted < n_tiles, pair_tri[order], -1
+        ).astype(jnp.int32)
 
     offsets = jnp.searchsorted(
         tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     seg_counts = offsets[1:] - offsets[:-1]  # (n_tiles,)
+    seg_starts = offsets[:-1]
 
-    padded = (
-        (seg_counts + PAIR_ALIGN - 1) // PAIR_ALIGN
-    ) * PAIR_ALIGN
-    seg_starts = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-
-    cap_al = pair_capacity + PAIR_ALIGN * n_tiles
-    cap_al = ((cap_al + PAIR_ALIGN - 1) // PAIR_ALIGN) * PAIR_ALIGN
-    rank = slot - offsets[jnp.clip(tile_sorted, 0, n_tiles - 1)]
-    pos = jnp.where(
-        tile_sorted < n_tiles,
-        seg_starts[jnp.clip(tile_sorted, 0, n_tiles - 1)] + rank,
-        cap_al,  # dropped
-    )
-    pair_tri_aligned = (
-        jnp.full((cap_al,), -1, jnp.int32)
-        .at[pos]
-        .set(pair_tri_sorted, mode="drop")
-    )
     overflow = jnp.maximum(total - cap, 0).astype(jnp.int32)
-    return pair_tri_aligned, seg_starts, seg_counts, overflow
+    return pair_tri_sorted, seg_starts, seg_counts, overflow
