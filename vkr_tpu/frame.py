@@ -75,6 +75,30 @@ def camera_frame(cfg: RenderConfig, view, prev_view, frame_index: int,
     )
 
 
+def build_probe_grid(scene_cpu, cfg: RenderConfig, margin: float = 0.5,
+                     probe_y: float = 1.5, use_pallas: bool = True,
+                     interpret: bool = False):
+    """Render the octahedral probe grid over the scene's xz bounds
+    (startup task, like the reference's render_probe_grid call site,
+    probe_renderer.cpp:290-384). scene_cpu: CompiledScene (host arrays
+    for the bounds) — the device scene is uploaded internally."""
+    import numpy as _np
+
+    from vkr_tpu.passes.gbuffer import upload_scene
+    from vkr_tpu.passes.probes import render_probe_grid
+
+    pos = _np.asarray(scene_cpu.positions)
+    lo = pos.min(axis=0) if len(pos) else _np.zeros(3)
+    hi = pos.max(axis=0) if len(pos) else _np.zeros(3)
+    pmin = _np.array([lo[0] + margin, probe_y, lo[2] + margin], _np.float32)
+    pmax = _np.array([hi[0] - margin, probe_y, hi[2] - margin], _np.float32)
+    return render_probe_grid(
+        upload_scene(scene_cpu), pmin, pmax, cfg.probes.grid,
+        cube_size=cfg.probes.cube_size, oct_size=cfg.probes.oct_size,
+        use_pallas=use_pallas, interpret=interpret,
+    )
+
+
 def render_frame(
     scene: SceneDevice,
     state: FrameState,
@@ -82,13 +106,16 @@ def render_frame(
     ssr_res: SSRResources,
     cfg: RenderConfig,
     *,
+    probe_grid=None,
     use_pallas: bool = True,
     interpret: bool = False,
 ):
     """One frame: returns (final color (H, W, 3), new FrameState, aux dict).
 
     cfg must be static under jit (hash by id: close over it or mark
-    static).
+    static). probe_grid: optional ProbeGrid rendered at startup
+    (build_probe_grid); with cfg.enable_probes it feeds indirect
+    reflections into deferred shading (BASELINE config 5).
     """
     h, w = cfg.height, cfg.width
     inv_view = _inv4(cam.view)
@@ -154,6 +181,27 @@ def render_frame(
         )
     else:
         ssr_blurred = jnp.zeros((h // 2, w // 2, 3), jnp.float32)
+
+    # ---- Probe GI -> indirect reflections (BASELINE config 5) ----
+    # The reference's ProbeTracePass writes the same RGBA8 reflections
+    # image deferred shading consumes (trace_probe/shader.comp:73-84 ->
+    # defered_shading/shader.frag:92). With SSR also on, probe hits fill
+    # pixels SSR left empty.
+    if cfg.enable_probes and probe_grid is not None:
+        probe_refl = add_task(
+            "TraceProbes",
+            lambda: registry.get("trace_probe")(
+                depth_half, hiz.normal_half, probe_grid, inv_view,
+                cfg.camera.fovy, cfg.aspect, cfg.camera.znear,
+                cfg.camera.zfar,
+            ),
+        )
+        probe_rgb = probe_refl[..., :3] * probe_refl[..., 3:4]
+        if cfg.enable_ssr:
+            empty = (ssr_blurred.sum(-1, keepdims=True) == 0.0)
+            ssr_blurred = jnp.where(empty, probe_rgb, ssr_blurred)
+        else:
+            ssr_blurred = probe_rgb
 
     # ---- GTAO (main -> filter -> accumulate) ----
     if cfg.enable_gtao:

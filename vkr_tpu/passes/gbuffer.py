@@ -42,7 +42,10 @@ from vkr_tpu.raster.texture import (
     TextureArray,
     pack_texture_array,
     quad_derivative_lod,
+    sample_alpha,
+    sample_material_pair,
     sample_texture_array,
+    small_lookup,
 )
 from vkr_tpu.scene.scene import CompiledScene
 
@@ -86,7 +89,9 @@ def upload_scene(scene: CompiledScene) -> SceneDevice:
         tri_masked_mat=jnp.asarray(scene.tri_material[mask]),
         mat_albedo_tex=jnp.asarray(scene.mat_albedo_tex),
         mat_mr_tex=jnp.asarray(scene.mat_mr_tex),
-        tex=pack_texture_array(scene.tex_mips, scene.tex_wrap),
+        tex=pack_texture_array(scene.tex_mips, scene.tex_wrap,
+                               mat_albedo_tex=scene.mat_albedo_tex,
+                               mat_mr_tex=scene.mat_mr_tex),
     )
 
 
@@ -215,15 +220,19 @@ def render_gbuffer(
         )
         # Alpha test the masked layer (discard iff sampled alpha == 0,
         # opaque_taa.frag:32-34), then depth-merge with the opaque layer.
+        # Alpha-only 4-byte quad rows: 2.4x cheaper than a full sample.
         lod_b = quad_derivative_lod(attrs_b["uv"], scene.tex.sizes[0])
-        alb_b = _material_texture(
-            scene.tex,
-            scene.mat_albedo_tex[jnp.maximum(attrs_b["mat_id"], 0)],
-            attrs_b["uv"], lod_b, DEFAULT_ALBEDO,
+        aidx_b = small_lookup(scene.mat_albedo_tex,
+                              jnp.maximum(attrs_b["mat_id"], 0))
+        alpha_b = jnp.where(
+            aidx_b >= 0,
+            sample_alpha(scene.tex, jnp.maximum(aidx_b, 0),
+                         attrs_b["uv"], lod_b),
+            DEFAULT_ALBEDO[3],
         )
         keep_b = (
             (vis_b.tri_id >= 0)
-            & (alb_b[..., 3] != 0.0)
+            & (alpha_b != 0.0)
             & (vis_b.depth <= depth)
         )
         depth = jnp.where(keep_b, vis_b.depth, depth)
@@ -242,21 +251,29 @@ def render_gbuffer(
     uv = attrs["uv"]
     lod = quad_derivative_lod(uv, scene.tex.sizes[0])
 
-    albedo = _material_texture(
-        scene.tex, jnp.where(mat_id >= 0,
-                             scene.mat_albedo_tex[jnp.maximum(mat_id, 0)],
-                             -1),
-        uv, lod, DEFAULT_ALBEDO,
+    aidx = jnp.where(
+        mat_id >= 0,
+        small_lookup(scene.mat_albedo_tex, jnp.maximum(mat_id, 0)), -1,
     )
+    midx = jnp.where(
+        mat_id >= 0,
+        small_lookup(scene.mat_mr_tex, jnp.maximum(mat_id, 0)), -1,
+    )
+    if scene.tex.pair_quad is not None:
+        # One 32-byte gather fetches BOTH material textures per pixel.
+        alb_s, mr_s = sample_material_pair(scene.tex, mat_id, uv, lod)
+        dflt_a = jnp.asarray(DEFAULT_ALBEDO, jnp.float32)[None, None, :]
+        dflt_m = jnp.asarray(DEFAULT_MATERIAL, jnp.float32)[None, None, :]
+        albedo = jnp.where((aidx >= 0)[..., None], alb_s, dflt_a)
+        material = jnp.where((midx >= 0)[..., None], mr_s, dflt_m)
+    else:
+        albedo = _material_texture(scene.tex, aidx, uv, lod,
+                                   DEFAULT_ALBEDO)
+        material = _material_texture(scene.tex, midx, uv, lod,
+                                     DEFAULT_MATERIAL)
     # SRGB textures: hardware decodes on sample (scene loads all images as
     # RGBA8_SRGB, images.cpp:22); alpha stays linear.
     albedo = albedo.at[..., :3].set(srgb_to_linear(albedo[..., :3]))
-    material = _material_texture(
-        scene.tex, jnp.where(mat_id >= 0,
-                             scene.mat_mr_tex[jnp.maximum(mat_id, 0)],
-                             -1),
-        uv, lod, DEFAULT_MATERIAL,
-    )
     material = material.at[..., :3].set(srgb_to_linear(material[..., :3]))
 
     n = attrs["normal"]

@@ -134,8 +134,8 @@ def _phase_a_kernel(cons_ref, depth_hbm, out_ref, win, sem, *,
     tx = pl.program_id(1)
     y0 = ty * 8
     x0 = tx * 128
-    ys = jnp.clip(y0 - 24, 0, hp - win_h)
-    xs = jnp.clip(x0 - 128, 0, wp - win_w)
+    ys = pl.multiple_of(jnp.clip(y0 - 24, 0, hp - win_h), 8)
+    xs = pl.multiple_of(jnp.clip(x0 - 128, 0, wp - win_w), 128)
 
     # window DMA in 128-col blocks into the flat (win_h*win_w/128, 128)
     # scratch: flat row = wy * (win_w/128) + (wx // 128)

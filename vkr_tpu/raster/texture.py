@@ -8,11 +8,24 @@ over the pixel grid with per-pixel texture index, LOD and wrap mode
 (DEFAULT_SAMPLER is linear/linear with linear mipmaps, samplers.hpp:36-50;
 glTF scene samplers use REPEAT, remapped per texture like
 scene.cpp:104-161).
+
+TPU cost model (measured): XLA's gather is scalarized and priced per
+index AND per 32-bit word of row width (~12 ms per 2M 4-byte rows, ~28 ms
+for 16-byte, ~42 ms for 32-byte). Layouts here are chosen around that:
+  * `flat_quad` (16 B) — one gather per bilinear tap (4 texels pre-packed
+    with wrap-aware neighbors);
+  * `alpha_quad` (4 B) — alpha-only bilinear tap for the alpha-MASK test
+    (opaque_taa.frag:32-34), 2.4x cheaper than a full quad row;
+  * `pair_quad` (32 B) — albedo+metallic-roughness quads zipped per
+    material so deferred G-buffer texturing is ONE gather per pixel
+    instead of two (25% cheaper than 2 x 16 B).
+Tiny per-material/per-texture tables are read with `small_lookup` select
+chains — a 2M-index gather from even an 8-entry table costs ~12 ms.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -25,11 +38,25 @@ import dataclasses
 import jax
 
 
+def small_lookup(table, idx, limit: int = 96):
+    """table[idx] for a SMALL table without a scalarized gather: a chain
+    of scalar-broadcast selects (len(table) vector ops) instead of an
+    index-count-priced gather. Falls back to a real gather for big
+    tables."""
+    n = int(table.shape[0])
+    if n > limit:
+        return table[idx]
+    out = jnp.broadcast_to(table[0], idx.shape)
+    for i in range(1, n):
+        out = jnp.where(idx == i, table[i], out)
+    return out
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class TextureArray:
-    """Packed texture-array pytree. `flat`/`wrap` are device arrays; the
-    mip layout (offsets/sizes/flat_len) is static metadata so it survives
+    """Packed texture-array pytree. Device arrays are children; the mip
+    layout (offsets/sizes/flat_len) is static metadata so it survives
     jit argument passing as compile-time constants."""
 
     flat: jnp.ndarray      # (NT * FLAT, 4) u8 — all textures, mips packed
@@ -39,27 +66,53 @@ class TextureArray:
     sizes: Tuple[int, ...]    # static: edge length of each mip level
     flat_len: int             # FLAT = sum(sizes^2)
     uniform_wrap: "int | None" = None  # static: set when all textures agree
+    # alpha-only quads for the MASK test (4 B rows)
+    alpha_quad: Optional[jnp.ndarray] = None  # (NT * FLAT, 4) u8
+    # per-material albedo+MR zipped quads (32 B rows) + material -> pair
+    pair_quad: Optional[jnp.ndarray] = None   # (NP * FLAT, 32) u8
+    mat_pair: Optional[jnp.ndarray] = None    # (M,) i32, -1 = no pair
+    pair_wrap: Optional[jnp.ndarray] = None   # (NP,) i32
 
     def tree_flatten(self):
-        return (self.flat, self.flat_quad, self.wrap), (
-            self.offsets, self.sizes, self.flat_len, self.uniform_wrap,
-        )
+        return (
+            self.flat, self.flat_quad, self.wrap, self.alpha_quad,
+            self.pair_quad, self.mat_pair, self.pair_wrap,
+        ), (self.offsets, self.sizes, self.flat_len, self.uniform_wrap)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        flat, flat_quad, wrap = children
+        (flat, flat_quad, wrap, alpha_quad, pair_quad, mat_pair,
+         pair_wrap) = children
         offsets, sizes, flat_len, uniform_wrap = aux
         return cls(flat=flat, flat_quad=flat_quad, wrap=wrap,
                    offsets=offsets, sizes=sizes, flat_len=flat_len,
-                   uniform_wrap=uniform_wrap)
+                   uniform_wrap=uniform_wrap, alpha_quad=alpha_quad,
+                   pair_quad=pair_quad, mat_pair=mat_pair,
+                   pair_wrap=pair_wrap)
 
 
-def pack_texture_array(tex_mips, wrap) -> TextureArray:
+def _quad_neighbors(img, repeat: bool):
+    if repeat:
+        xr = np.roll(img, -1, axis=1)
+        yd = np.roll(img, -1, axis=0)
+        yxd = np.roll(xr, -1, axis=0)
+    else:
+        xr = np.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+        yd = np.concatenate([img[1:], img[-1:]], axis=0)
+        yxd = np.concatenate([xr[1:], xr[-1:]], axis=0)
+    return xr, yd, yxd
+
+
+def pack_texture_array(
+    tex_mips, wrap, mat_albedo_tex=None, mat_mr_tex=None
+) -> TextureArray:
     """(mip pyramids from scene.build_mip_pyramid) -> flat device layout.
 
-    Also packs each texel's wrap-aware 2x2 bilinear footprint into a
-    16-byte quad row so a bilinear tap costs ONE gather (see
-    sampling.quad_pack for the rationale)."""
+    Packs each texel's wrap-aware 2x2 bilinear footprint into a 16-byte
+    quad row (one gather per bilinear tap), the alpha channel of that
+    footprint into a 4-byte row, and — when the material tables are given
+    and each material's albedo/MR wraps agree — zipped 32-byte
+    albedo+MR pair rows so G-buffer texturing is one gather per pixel."""
     sizes = tuple(int(m.shape[1]) for m in tex_mips)
     offsets = []
     off = 0
@@ -69,23 +122,53 @@ def pack_texture_array(tex_mips, wrap) -> TextureArray:
     flat_len = off
     nt = tex_mips[0].shape[0]
     wrap_np = np.asarray(wrap, np.int32)
+
     flat = np.zeros((nt, flat_len, 4), np.uint8)
     quad = np.zeros((nt, flat_len, 16), np.uint8)
     for m, o, s in zip(tex_mips, offsets, sizes):
         flat[:, o : o + s * s] = m.reshape(nt, s * s, 4)
         for t in range(nt):
             img = m[t]
-            if t < len(wrap_np) and wrap_np[t] == WRAP_REPEAT:
-                xr = np.roll(img, -1, axis=1)
-                yd = np.roll(img, -1, axis=0)
-                yxd = np.roll(xr, -1, axis=0)
-            else:
-                xr = np.concatenate([img[:, 1:], img[:, -1:]], axis=1)
-                yd = np.concatenate([img[1:], img[-1:]], axis=0)
-                yxd = np.concatenate([xr[1:], xr[-1:]], axis=0)
+            rep = t < len(wrap_np) and wrap_np[t] == WRAP_REPEAT
+            xr, yd, yxd = _quad_neighbors(img, rep)
             quad[t, o : o + s * s] = np.concatenate(
                 [img, xr, yd, yxd], axis=-1
             ).reshape(s * s, 16)
+    alpha = quad[..., 3::4].copy()  # (nt, flat, 4) u8 — quad alphas
+
+    pair_quad = mat_pair = pair_wrap = None
+    if mat_albedo_tex is not None and mat_mr_tex is not None:
+        at = np.asarray(mat_albedo_tex, np.int32)
+        mt = np.asarray(mat_mr_tex, np.int32)
+        ok = True
+        for a, b in zip(at, mt):
+            if a >= 0 and b >= 0 and wrap_np[a] != wrap_np[b]:
+                ok = False  # mixed-wrap pair: fall back to 2 gathers
+        if ok:
+            pairs = {}
+            mat_pair_np = np.full(len(at), -1, np.int32)
+            for mi, (a, b) in enumerate(zip(at, mt)):
+                if a < 0 and b < 0:
+                    continue
+                key = (int(a), int(b))
+                if key not in pairs:
+                    pairs[key] = len(pairs)
+                mat_pair_np[mi] = pairs[key]
+            np_pairs = len(pairs)
+            if np_pairs:
+                pq = np.zeros((np_pairs, flat_len, 32), np.uint8)
+                pw = np.zeros(np_pairs, np.int32)
+                for (a, b), pi in pairs.items():
+                    if a >= 0:
+                        pq[pi, :, 0:16] = quad[a]
+                    if b >= 0:
+                        pq[pi, :, 16:32] = quad[b]
+                    src = a if a >= 0 else b
+                    pw[pi] = wrap_np[src] if src < len(wrap_np) else 0
+                pair_quad = jnp.asarray(pq.reshape(np_pairs * flat_len, 32))
+                mat_pair = jnp.asarray(mat_pair_np)
+                pair_wrap = jnp.asarray(pw)
+
     uniq = np.unique(wrap_np) if len(wrap_np) else np.asarray([0])
     return TextureArray(
         flat=jnp.asarray(flat.reshape(nt * flat_len, 4)),
@@ -95,6 +178,10 @@ def pack_texture_array(tex_mips, wrap) -> TextureArray:
         sizes=sizes,
         flat_len=flat_len,
         uniform_wrap=int(uniq[0]) if len(uniq) == 1 else None,
+        alpha_quad=jnp.asarray(alpha.reshape(nt * flat_len, 4)),
+        pair_quad=pair_quad,
+        mat_pair=mat_pair,
+        pair_wrap=pair_wrap,
     )
 
 
@@ -136,12 +223,9 @@ def _wrap_coord(i, size, wrap_mode):
     return jnp.where(wrap_mode == WRAP_REPEAT, rep, clamp)
 
 
-def _sample_level(tex: TextureArray, tex_idx, uv, level, wrap_mode):
-    """Bilinear tap at a (per-pixel dynamic) mip level — ONE quad-row
-    gather per pixel (wrap baked into the packed neighbors).
-
-    tex_idx/(H,W) i32, uv/(H,W,2), level/(H,W) i32 -> (H, W, 4) f32 [0,1].
-    """
+def _tap_setup(tex: TextureArray, uv, level, wrap_mode):
+    """Shared bilinear tap math: returns (texel index within one texture's
+    flat mips, fx, fy)."""
     s = _level_lookup(tex.sizes, level)  # (H, W)
     o = _level_lookup(tex.offsets, level)
     sf = s.astype(jnp.float32)
@@ -159,16 +243,71 @@ def _sample_level(tex: TextureArray, tex_idx, uv, level, wrap_mode):
     fy = jnp.where((wrap_mode == WRAP_CLAMP) & (y0 < 0), 0.0, fy)[..., None]
     xi = _wrap_coord(x0, s, wrap_mode)
     yi = _wrap_coord(y0, s, wrap_mode)
+    return o + yi * s + xi, fx, fy
 
-    idx = tex_idx * tex.flat_len + o + yi * s + xi
-    rows = jnp.take(tex.flat_quad, idx, axis=0).astype(jnp.float32) / 255.0
-    t00 = rows[..., 0:4]
-    t10 = rows[..., 4:8]
-    t01 = rows[..., 8:12]
-    t11 = rows[..., 12:16]
+
+def _bilerp(rows, fx, fy, base: int):
+    t00 = rows[..., base : base + 4]
+    t10 = rows[..., base + 4 : base + 8]
+    t01 = rows[..., base + 8 : base + 12]
+    t11 = rows[..., base + 12 : base + 16]
     top = t00 + (t10 - t00) * fx
     bot = t01 + (t11 - t01) * fx
     return top + (bot - top) * fy
+
+
+def _sample_level(tex: TextureArray, tex_idx, uv, level, wrap_mode):
+    """Bilinear tap at a (per-pixel dynamic) mip level — ONE quad-row
+    gather per pixel (wrap baked into the packed neighbors).
+
+    tex_idx/(H,W) i32, uv/(H,W,2), level/(H,W) i32 -> (H, W, 4) f32 [0,1].
+    """
+    rel, fx, fy = _tap_setup(tex, uv, level, wrap_mode)
+    idx = tex_idx * tex.flat_len + rel
+    rows = jnp.take(tex.flat_quad, idx, axis=0).astype(jnp.float32) / 255.0
+    return _bilerp(rows, fx, fy, 0)
+
+
+def sample_alpha(tex: TextureArray, tex_idx, uv, lod):
+    """Bilinear ALPHA tap (4-byte rows) for the alpha-MASK discard test
+    (opaque_taa.frag:32-34) — 2.4x cheaper than a full quad gather."""
+    n_levels = len(tex.sizes)
+    if tex.uniform_wrap is not None:
+        wrap_mode = jnp.full(tex_idx.shape, tex.uniform_wrap, jnp.int32)
+    else:
+        wrap_mode = small_lookup(tex.wrap, jnp.maximum(tex_idx, 0))
+    level = jnp.round(jnp.clip(lod, 0.0, n_levels - 1)).astype(jnp.int32)
+    rel, fx, fy = _tap_setup(tex, uv, level, wrap_mode)
+    idx = tex_idx * tex.flat_len + rel
+    rows = jnp.take(tex.alpha_quad, idx, axis=0).astype(jnp.float32) / 255.0
+    a00, a10, a01, a11 = (rows[..., 0], rows[..., 1], rows[..., 2],
+                          rows[..., 3])
+    fx = fx[..., 0]
+    fy = fy[..., 0]
+    top = a00 + (a10 - a00) * fx
+    bot = a01 + (a11 - a01) * fx
+    return top + (bot - top) * fy
+
+
+def sample_material_pair(tex: TextureArray, mat_id, uv, lod):
+    """One 32-byte gather per pixel returning BOTH material textures:
+    (albedo (H,W,4), metallic-roughness (H,W,4)) raw [0,1] values.
+
+    Requires tex.pair_quad (pack_texture_array with material tables and
+    wrap-consistent pairs); caller masks halves whose texture is absent.
+    """
+    n_levels = len(tex.sizes)
+    pidx = small_lookup(tex.mat_pair, jnp.maximum(mat_id, 0))
+    pidx0 = jnp.maximum(pidx, 0)
+    if tex.uniform_wrap is not None:
+        wrap_mode = jnp.full(mat_id.shape, tex.uniform_wrap, jnp.int32)
+    else:
+        wrap_mode = small_lookup(tex.pair_wrap, pidx0)
+    level = jnp.round(jnp.clip(lod, 0.0, n_levels - 1)).astype(jnp.int32)
+    rel, fx, fy = _tap_setup(tex, uv, level, wrap_mode)
+    idx = pidx0 * tex.flat_len + rel
+    rows = jnp.take(tex.pair_quad, idx, axis=0).astype(jnp.float32) / 255.0
+    return _bilerp(rows, fx, fy, 0), _bilerp(rows, fx, fy, 16)
 
 
 def sample_texture_array(
@@ -187,12 +326,12 @@ def sample_texture_array(
     caller's job, matching the separate SRGB-format semantics).
     """
     n_levels = len(tex.sizes)
-    # Per-pixel wrap gather only when textures actually differ (a 2M-index
-    # gather from even a tiny table is ~11 ms on TPU).
+    # Per-pixel wrap via select chain when textures differ (a 2M-index
+    # gather from even a tiny table is ~12 ms on TPU).
     if tex.uniform_wrap is not None:
         wrap_mode = jnp.full(tex_idx.shape, tex.uniform_wrap, jnp.int32)
     else:
-        wrap_mode = tex.wrap[jnp.maximum(tex_idx, 0)]
+        wrap_mode = small_lookup(tex.wrap, jnp.maximum(tex_idx, 0))
     if lod is None:
         return _sample_level(
             tex, tex_idx, uv, jnp.zeros_like(tex_idx), wrap_mode

@@ -85,7 +85,8 @@ def main(argv=None):
     def trace_fn(nh, mat, fr):
         return S.ssr_trace(S.pack_pyramid(mips), nh, mat, res.pdf_lut,
                            sp, fr, res.halton,
-                           max_iterations=args.ssr_iters)
+                           max_iterations=args.ssr_iters,
+                           use_kernel=True, interpret=interpret)
 
     tr = bench("ssr_trace", jax.jit(trace_fn), hiz.normal_half,
                gb.material, jnp.asarray(0, jnp.int32))
