@@ -80,6 +80,7 @@ class ViewerState:
     def __init__(self):
         self.lock = threading.Lock()
         self.keys = set()
+        self.keys_time = 0.0  # keys expire if the client stops posting
         self.toggles = dict(ssr=True, gtao=True, taa=True, jitter=True,
                             ao_only=False)
         self.reload_requested = False
@@ -133,6 +134,7 @@ def _make_handler(state: ViewerState, width: int, height: int):
             msg = json.loads(self.rfile.read(n) or b"{}")
             with state.lock:
                 state.keys = set(msg.get("keys", []))
+                state.keys_time = time.time()
                 t = msg.get("toggle")
                 if t == "1":
                     state.toggles["ao_only"] ^= True
@@ -230,6 +232,8 @@ def main(argv=None):
     while not state.quit:
         with state.lock:
             keys = set(state.keys)
+            if time.time() - state.keys_time > 0.5:
+                keys = set()  # stale input: client stopped posting
             toggles = dict(state.toggles)
             do_reload = state.reload_requested
             state.reload_requested = False
