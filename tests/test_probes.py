@@ -10,8 +10,12 @@ from vkr_tpu.passes import probes as P
 
 class TestOctMath:
     def test_oct_depth_round_trip(self):
-        z = -np.linspace(0.06, 79.0, 200).astype(np.float32)
+        # positive planar distances, near -> 0 / far -> 1
+        # (octahedral.glsl:70-77 with z > 0, as the reference passes)
+        z = np.linspace(0.06, 79.0, 200).astype(np.float32)
         d = np.asarray(P.encode_oct_depth(jnp.asarray(z)))
+        assert d.min() >= 0.0 and d.max() <= 1.0
+        assert np.all(np.diff(d) > 0)  # monotone: closer = smaller d
         z2 = np.asarray(P.decode_oct_depth(jnp.asarray(d)))
         assert np.max(np.abs(z2 - z) / np.abs(z)) < 1e-3
 
@@ -43,7 +47,7 @@ class TestCubemap:
         dist = jnp.full((6, 16, 16), 5.0)
         oct_color, oct_depth = P.cube_to_oct(color, dist, oct_size=32)
         assert np.allclose(np.asarray(oct_color), 0.5, atol=1e-5)
-        z = -np.asarray(P.decode_oct_depth(oct_depth))
+        z = np.asarray(P.decode_oct_depth(oct_depth))
         # planar depth along octant diagonal <= radial distance
         assert np.all(z <= 5.0 + 1e-3)
         assert np.all(z >= 5.0 / np.sqrt(3) - 1e-2)

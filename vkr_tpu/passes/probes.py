@@ -157,8 +157,11 @@ def cube_to_oct(color_faces, dist_faces, oct_size: int = 256):
     dist = sample_cubemap(dist_faces[..., None], direction)[..., 0]
     view_dir = direction * dist[..., None]
     front = oct_center(uv)
+    # planar depth along the octant diagonal — POSITIVE distance, like
+    # the reference (cube2oct/shader.comp:27: encode_oct_depth(dot, n, f)
+    # with dot > 0 mapping near->0, far->1)
     depth = encode_oct_depth(
-        jnp.clip((view_dir * front).sum(-1), ZNEAR, ZFAR) * -1.0
+        jnp.clip((view_dir * front).sum(-1), ZNEAR, ZFAR)
     )
     return color, depth
 
@@ -333,11 +336,12 @@ def _trace_segment(grid, probe_idx, ray_origin, ray_dir, t0, t1):
     end_oct = oct_encode_dir(norm(p_end3))
     front = oct_center(0.5 * (start_oct + end_oct))
 
+    # positive planar distances (trace_probe/shader.comp:291-293)
     start_depth = encode_oct_depth(
-        -jnp.maximum((p_start3 * front).sum(-1), 1e-6)
+        jnp.maximum((p_start3 * front).sum(-1), 1e-6)
     ) - 0.0005
     end_depth = encode_oct_depth(
-        -jnp.maximum((p_end3 * front).sum(-1), 1e-6)
+        jnp.maximum((p_end3 * front).sum(-1), 1e-6)
     )
     p_start = jnp.concatenate([start_oct, start_depth[..., None]], -1)
     p_end = jnp.concatenate([end_oct, end_depth[..., None]], -1)
