@@ -40,6 +40,8 @@ def main():
     width, height = 1920, 1080
     frames = int(os.environ.get("BENCH_FRAMES", "16"))
     ssr_iters = int(os.environ.get("BENCH_SSR_ITERS", "80"))
+    scene_kind = os.environ.get("BENCH_SCENE", "sponza_tex")
+    tex_size = int(os.environ.get("BENCH_TEX", "1024"))
 
     cfg = RenderConfig(width=width, height=height)
     cfg = dataclasses.replace(
@@ -48,9 +50,19 @@ def main():
 
     print(f"backend: {backend}", file=sys.stderr)
     t0 = time.time()
-    scene = upload_scene(
-        colonnade_scene(columns=16, tessellation=64, tex_size=512)
-    )
+    if scene_kind == "sponza_tex":
+        # Reference-scale workload: >=300k tris (vs Sponza's ~260k,
+        # main.cpp:217-218) textured with Sponza's REAL 25-material /
+        # 69-texture set at native 1024^2 (procedural.py).
+        from vkr_tpu.scene.procedural import sponza_colonnade_scene
+
+        scene_cpu = sponza_colonnade_scene(
+            columns=24, tessellation=80, tex_size=tex_size
+        )
+    else:
+        scene_cpu = colonnade_scene(columns=16, tessellation=64,
+                                    tex_size=512)
+    scene = upload_scene(scene_cpu)
     ssr_res = build_ssr_resources(1024)
     print(f"scene+LUTs: {time.time()-t0:.1f}s "
           f"({scene.tri_opaque.shape[0] + scene.tri_masked.shape[0]} tris)",

@@ -21,3 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA:CPU compilation cache for the suite: interpret-mode Pallas
+# golden renders dominate the suite's runtime and their compiles are the
+# cost (not execution). Host-local dir (never committed): CPU AOT artifacts
+# embed host CPU features and must not travel between machines.
+jax.config.update("jax_compilation_cache_dir", "/tmp/vkr_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

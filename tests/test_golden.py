@@ -102,3 +102,39 @@ def test_golden(case):
         # 8-bit quantized golden: identical pipelines score ~50+;
         # 35 allows numeric drift, catches visual changes.
         assert p > 35.0, f"{name}: PSNR {p:.1f} dB vs golden"
+
+
+class TestMaskDepthPeel:
+    def test_two_stacked_masked_layers(self):
+        """mask_peel_layers=2: a hole in the front masked surface reveals
+        the masked surface BEHIND it (not the opaque floor), closing the
+        one-layer gap vs the reference's per-fragment discard
+        (opaque_taa.frag:32-34)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from vkr_tpu.mathlib import look_at, perspective
+        from vkr_tpu.passes.gbuffer import render_gbuffer, upload_scene
+        from vkr_tpu.scene.procedural import two_masked_quads_scene
+
+        scene_cpu = two_masked_quads_scene()
+        scene = upload_scene(scene_cpu)
+        view = look_at((0, 0, -4), (0, 0, 1), (0, -1, 0))
+        proj = perspective(np.radians(60), 1.0, 0.05, 80.0)
+        vp = jnp.asarray(proj @ view)
+
+        g1 = render_gbuffer(scene, vp, vp, jnp.zeros(2), width=64,
+                            height=64, use_pallas=False, quantize=False,
+                            mask_peel_layers=1)
+        g2 = render_gbuffer(scene, vp, vp, jnp.zeros(2), width=64,
+                            height=64, use_pallas=False, quantize=False,
+                            mask_peel_layers=2)
+        # center pixels: front quad's hole; back quad is opaque-alpha there
+        m1 = np.asarray(g1.material[28:36, 28:36, 2])
+        m2 = np.asarray(g2.material[28:36, 28:36, 2])
+        # with one layer the hole falls through to the floor material;
+        # with two layers it lands on the back masked quad's material
+        assert not np.allclose(m1, m2)
+        d1 = np.asarray(g1.depth[28:36, 28:36])
+        d2 = np.asarray(g2.depth[28:36, 28:36])
+        assert (d2 <= d1 + 1e-6).all() and (d2 < d1 - 1e-6).any()

@@ -80,7 +80,7 @@ class TestPallasMarch:
         )
         pos_k, hor_k, it_k = hierarchical_march_pallas(
             list(hiz.mips), o, d, cam, w0, params, MAX_IT,
-            compact_frac=1.0, refine_iters=12, interpret=True,
+            compact_frac=1.0, interpret=True,
         )
 
         valid_ref = np.asarray(it_ref) <= MAX_IT
@@ -93,7 +93,7 @@ class TestPallasMarch:
             dp = np.abs(np.asarray(pos_k) - np.asarray(pos_ref))[both]
             # phase-B hi/lo bf16 table: ~4e-6 depth error can shift a DDA
             # decision; the bulk of hits must land on the same texel
-            assert np.percentile(dp[..., :2].max(-1), 90) < 2.0 / 64.0
+            assert np.percentile(dp[..., :2].max(-1), 95) < 1.0 / 64.0
         # horizon estimates agree where both valid
         dh = np.abs(np.asarray(hor_k) - np.asarray(hor_ref))
         assert np.percentile(dh, 90) < 0.05

@@ -78,6 +78,7 @@ class RasterConfig:
     tri_chunk: int = 16            # triangles processed per inner-loop step
     max_pairs_factor: float = 8.0  # bin-pair capacity = factor * num_triangles
     alpha_mask: bool = True        # honor alpha-discard (opaque_taa.frag:32-34)
+    mask_peel_layers: int = 1      # 2 = depth-peel a second masked layer
 
 
 @dataclasses.dataclass(frozen=True)

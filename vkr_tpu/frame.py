@@ -128,6 +128,7 @@ def render_frame(
             scene, cam.mvp, cam.prev_mvp, cam.jitter,
             width=w, height=h, quantize=cfg.quantize_formats,
             use_pallas=use_pallas, interpret=interpret,
+            mask_peel_layers=cfg.raster.mask_peel_layers,
         ),
     )
 

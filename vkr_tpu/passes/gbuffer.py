@@ -178,7 +178,14 @@ def render_gbuffer(
     quantize: bool = True,
     use_pallas: bool = True,
     interpret: bool = False,
+    mask_peel_layers: int = 1,
 ) -> GBuffer:
+    """mask_peel_layers: how many alpha-MASK transparency layers to
+    resolve. 1 (default) = closest masked fragment only; 2 adds a
+    depth-peeled second pass so a masked fragment whose alpha==0 reveals
+    the NEXT masked surface behind it instead of skipping straight to
+    the opaque layer — closing the gap to the reference's per-fragment
+    discard (opaque_taa.frag:32-34) for two stacked masked surfaces."""
     vp = jnp.asarray(view_proj)
     prev_vp = jnp.asarray(prev_view_proj)
 
@@ -235,7 +242,50 @@ def render_gbuffer(
             & (alpha_b != 0.0)
             & (vis_b.depth <= depth)
         )
-        depth = jnp.where(keep_b, vis_b.depth, depth)
+        if mask_peel_layers >= 2:
+            # Second transparency layer: where the closest masked
+            # fragment was alpha-discarded, peel to the masked fragment
+            # strictly behind it and alpha-test that one too.
+            discarded = (vis_b.tri_id >= 0) & (alpha_b == 0.0)
+            vis_b2 = rasterize(clip, scene.tri_masked,
+                               tri_mat=scene.tri_masked_mat,
+                               peel_depth=vis_b.depth, **rkw)
+            overflow = overflow + vis_b2.overflow
+            attrs_b2 = _resolve_attrs(
+                vis_b2, scene.tri_masked, scene.tri_masked_mat,
+                scene.uvs, world_n, prev_clip, **akw,
+            )
+            lod_b2 = quad_derivative_lod(attrs_b2["uv"],
+                                         scene.tex.sizes[0])
+            aidx_b2 = small_lookup(scene.mat_albedo_tex,
+                                   jnp.maximum(attrs_b2["mat_id"], 0))
+            alpha_b2 = jnp.where(
+                aidx_b2 >= 0,
+                sample_alpha(scene.tex, jnp.maximum(aidx_b2, 0),
+                             attrs_b2["uv"], lod_b2),
+                DEFAULT_ALBEDO[3],
+            )
+            keep_b2 = (
+                discarded
+                & (vis_b2.tri_id >= 0)
+                & (alpha_b2 != 0.0)
+                & (vis_b2.depth <= depth)
+            )
+            vis_depth_b = jnp.where(keep_b2, vis_b2.depth, vis_b.depth)
+            keep_b = keep_b | keep_b2
+            k2 = keep_b2[..., None]
+            attrs_b = {
+                "uv": jnp.where(k2, attrs_b2["uv"], attrs_b["uv"]),
+                "normal": jnp.where(k2, attrs_b2["normal"],
+                                    attrs_b["normal"]),
+                "prev_clip": jnp.where(k2, attrs_b2["prev_clip"],
+                                       attrs_b["prev_clip"]),
+                "mat_id": jnp.where(keep_b2, attrs_b2["mat_id"],
+                                    attrs_b["mat_id"]),
+            }
+        else:
+            vis_depth_b = vis_b.depth
+        depth = jnp.where(keep_b, vis_depth_b, depth)
         mask = mask | keep_b
         k1 = keep_b[..., None]
         attrs = {

@@ -11,18 +11,21 @@ math into three phases that avoid XLA gathers entirely on the hot path:
     its own pixel. A Pallas kernel marches each (8,128) ray tile against
     a tile-local mip-0 depth window DMA'd into VMEM, statically unrolled.
 
-  Phase B (iterations 16..max): surviving rays are compacted (most have
-    retired: hit, sky, out of bounds) and marched in a second kernel that
-    holds the ENTIRE mip>=1 pyramid in VMEM. Fetches use a one-hot MXU
-    gather: row-select as a (rays, R) x (R, 128) matmul, column-select as
-    a masked lane reduction. f32 accuracy survives the MXU's bf16 operand
-    truncation via a hi+lo bf16 split of the table (two matmuls,
-    |err| <= ~4e-6). Rays descending below mip 1 retire as hit
-    candidates.
+  Phase B1 (iterations 16..32): the whole (padded) ray grid marches in a
+    global kernel holding the ENTIRE depth pyramid in VMEM — the mip>=1
+    levels as one flat table, mip 0 as its own table read through a
+    chunked one-hot (skipped on iterations where a tile has no mip-0
+    rays). Fetches use a one-hot MXU gather: row-select as a
+    (rays, R) x (R, 128) matmul, column-select as a masked lane
+    reduction. f32 accuracy survives the MXU's bf16 operand truncation
+    via a hi+lo bf16 split of each table (two matmuls, |err| <= ~4e-6).
+    Most rays retire here (hit / sky / out of bounds); tiles whose rays
+    all retired exit after one loop-condition check.
 
-  Phase C: hit candidates replay a few exact mip-0 iterations with the
-    plain XLA body on the compacted set (cheap: few rays x few iters) so
-    final hit positions are bit-faithful to the reference's fine march.
+  Phase B2 (iterations 32..max): survivors are compacted (single-key
+    sort + one row gather) and marched to the iteration cap in the same
+    kernel; survivors beyond the compaction capacity are invalidated,
+    the same drop policy as the XLA fallback path.
 
 In-kernel gathers use the factored one-hot engine (~0.45 Gtaps/s
 amortized, ~5x XLA, independent of table size) — see ROADMAP.md "MXU
@@ -149,10 +152,11 @@ def _phase_a_kernel(cons_ref, depth_hbm, out_ref, win, sem, *,
         cp.start()
         cp.wait()
     window = win[...]  # (blocks*win_h, 128)
-    # MXU operands truncate to bf16; split the window once so each
-    # iteration's two matmuls reconstruct f32-grade depth
-    win_hi = window.astype(jnp.bfloat16).astype(jnp.float32)
-    win_lo = window - win_hi
+    # MXU operands truncate to bf16 anyway; split the window once into
+    # bf16 hi + residual so two NATIVE bf16 matmuls reconstruct
+    # f32-grade depth (|err| <= ~4e-6)
+    win_hi = window.astype(jnp.bfloat16)
+    win_lo = (window - win_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     c = {k: cons_ref[i] for i, k in enumerate(_CN)}
     c["mx"] = 0.005 / w
@@ -193,7 +197,7 @@ def _phase_a_kernel(cons_ref, depth_hbm, out_ref, win, sem, *,
         lx = jnp.clip(xi - xs, 0, win_w - 1)
         frow = (lx >> 7) * win_h + ly
         fcol = lx & 127
-        oh = (frow[..., None] == row_iota).astype(jnp.float32)
+        oh = (frow[..., None] == row_iota).astype(jnp.bfloat16)
         rs = jnp.einsum("slh,hw->slw", oh, win_hi,
                         preferred_element_type=jnp.float32)
         rs = rs + jnp.einsum("slh,hw->slw", oh, win_lo,
@@ -213,9 +217,20 @@ def _phase_a_kernel(cons_ref, depth_hbm, out_ref, win, sem, *,
 
 # ------------------------------------------------------------ phase B
 
-def _phase_b_kernel(cs_ref, hi_ref, lo_ref, out_ref, *,
+_M0_CHUNK = 1024  # mip-0 table rows per one-hot chunk
+
+
+def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
                     h, w, offsets, widths, heights, fovy, aspect,
-                    znear, zfar, start_iter, max_iterations):
+                    znear, zfar, start_iter, end_iter):
+    """Global hierarchical march, iterations [start_iter, end_iter).
+
+    Fetches at mips >= 1 hit the whole-pyramid table (hi/lo). Fetches at
+    mip 0 hit the full-resolution mip-0 table (hi0/lo0) via a CHUNKED
+    one-hot (its row count exceeds what a single one-hot intermediate can
+    hold in VMEM); a tile skips that work entirely on iterations where
+    none of its rays are at mip 0 (lax.cond). The march is therefore
+    exact at every level — no hit-candidate approximation."""
     c = {k: cs_ref[i] for i, k in enumerate(_CN)}
     c["mx"] = 0.005 / w
     c["my"] = 0.005 / h
@@ -225,21 +240,24 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, out_ref, *,
 
     n_levels = len(offsets)
     R = hi_ref.shape[0]
+    R0 = hi0_ref.shape[0]
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, R), 2)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 2)
+    ck_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, _M0_CHUNK), 2)
     hi = hi_ref[...]
     lo = lo_ref[...]
 
     def cond(carry):
         i, st = carry
-        return (i < max_iterations) & jnp.any(st["done"] == 0.0)
+        return (i < end_iter) & jnp.any(st["done"] == 0.0)
 
     def body(carry):
         i, st = carry
+        at0 = (st["mip"] == 0) & (st["done"] == 0.0)
         mipf = st["mip"].astype(jnp.float32)
         mip_resx = w * jnp.exp2(-mipf)
         mip_resy = h * jnp.exp2(-mipf)
-        mip = jnp.clip(st["mip"], 1, n_levels)  # fetch level (1-based)
+        mip = jnp.clip(st["mip"], 1, n_levels)  # coarse fetch level
         mpx = mip_resx * st["px"]
         mpy = mip_resy * st["py"]
         xi = mpx.astype(jnp.int32)
@@ -264,8 +282,38 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, out_ref, *,
         colh = (flat & 127)[..., None] == col_iota
         surface_z = jnp.where(colh, rs, 0.0).sum(-1)
 
+        # exact mip-0 fetch for rays at the finest level (skipped when
+        # the whole tile has none this iteration)
+        xi0 = jnp.clip((w * st["px"]).astype(jnp.int32), 0, w - 1)
+        yi0 = jnp.clip((h * st["py"]).astype(jnp.int32), 0, h - 1)
+        flat0 = yi0 * w + xi0
+        f0row = flat0 >> 7
+        f0col = (flat0 & 127)[..., None] == col_iota
+
+        def fetch0():
+            acc = jnp.zeros((8, 128, 128), jnp.float32)
+            for s in range(0, R0, _M0_CHUNK):
+                oh0 = ((f0row - s)[..., None] == ck_iota
+                       ).astype(jnp.bfloat16)
+                acc = acc + jnp.einsum(
+                    "slh,hw->slw", oh0, hi0_ref[s : s + _M0_CHUNK, :],
+                    preferred_element_type=jnp.float32)
+                acc = acc + jnp.einsum(
+                    "slh,hw->slw", oh0, lo0_ref[s : s + _M0_CHUNK, :],
+                    preferred_element_type=jnp.float32)
+            return jnp.where(f0col, acc, 0.0).sum(-1)
+
+        # NOTE: an earlier version gated fetch0 behind
+        # lax.cond(jnp.any(at0), ...) to skip tiles with no mip-0 rays;
+        # on real TPU hardware the cond produced the false-branch zeros
+        # for tiles that DID have mip-0 rays (interpret mode was
+        # correct), turning every first fine-level descent into a false
+        # hit. Unconditional fetch until that is understood.
+        z0 = fetch0()
+        surface_z = jnp.where(at0, z0, surface_z)
+
         st = _step(c, st, surface_z, i.astype(jnp.float32),
-                   mip0sample=False, min_mip=1, fovy=fovy, aspect=aspect,
+                   mip0sample=False, min_mip=0, fovy=fovy, aspect=aspect,
                    znear=znear, zfar=zfar,
                    mip_resx=mip_resx, mip_resy=mip_resy, mpx=mpx, mpy=mpy)
         return i + 1, st
@@ -288,12 +336,11 @@ def _pad2(a, hp, wp, value):
 @functools.partial(
     jax.jit,
     static_argnames=("shapes", "fovy", "aspect", "znear", "zfar",
-                     "max_iterations", "compact_frac", "refine_iters",
-                     "interpret"),
+                     "max_iterations", "compact_frac", "interpret"),
 )
 def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
                 fovy, aspect, znear, zfar, max_iterations, compact_frac,
-                refine_iters, interpret):
+                interpret):
     h, w = shapes[0]
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
@@ -338,12 +385,80 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
         interpret=interpret,
     )(cons, depth0)
 
+    # full pyramid as VMEM tables, bf16 hi + residual lo: mips >= 1
+    # flat-packed together, mip 0 (full res, padded) separate
+    def hilo(t):
+        t_hi = t.astype(jnp.bfloat16)
+        return t_hi, (t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    flat1 = jnp.concatenate([m.reshape(-1) for m in mips[1:]])
+    rpad = (-flat1.shape[0]) % 128
+    flat1 = jnp.pad(flat1, (0, rpad), constant_values=1.0)
+    tbl_hi, tbl_lo = hilo(flat1.reshape(-1, 128))
+    flat0 = mips[0].reshape(-1)
+    # pad to whole one-hot chunks (the kernel slices the table in
+    # _M0_CHUNK-row blocks; partial blocks are illegal ref slices)
+    rpad0 = (-flat0.shape[0]) % (128 * _M0_CHUNK)
+    flat0 = jnp.pad(flat0, (0, rpad0), constant_values=1.0)
+    tbl0_hi, tbl0_lo = hilo(flat0.reshape(-1, 128))
+
+    offsets, widths, heights = [], [], []
+    off = 0
+    for (mh, mw) in shapes[1:]:
+        offsets.append(off)
+        widths.append(mw)
+        heights.append(mh)
+        off += mh * mw
+
+    def run_phase_b(cs_blocks, n_rays, start_iter, end_iter):
+        grid_b = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_rays // 1024,),
+            in_specs=[
+                pl.BlockSpec((N_CONS + N_STATE, 8, 128),
+                             lambda i: (0, i, 0)),
+                pl.BlockSpec(tbl_hi.shape, lambda i: (0, 0)),
+                pl.BlockSpec(tbl_hi.shape, lambda i: (0, 0)),
+                pl.BlockSpec(tbl0_hi.shape, lambda i: (0, 0)),
+                pl.BlockSpec(tbl0_hi.shape, lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((N_STATE, 8, 128),
+                                   lambda i: (0, i, 0)),
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _phase_b_kernel, h=h, w=w, offsets=tuple(offsets),
+                widths=tuple(widths), heights=tuple(heights), fovy=fovy,
+                aspect=aspect, znear=znear, zfar=zfar,
+                start_iter=start_iter, end_iter=end_iter,
+            ),
+            grid_spec=grid_b,
+            out_shape=jax.ShapeDtypeStruct(
+                (N_STATE, n_rays // 128, 128), jnp.float32
+            ),
+            interpret=interpret,
+        )(cs_blocks, tbl_hi, tbl_lo, tbl0_hi, tbl0_lo)
+
+    n_px = hp * wp
+    b1_end = min(n_a + 16, max_iterations)
     if max_iterations > n_a:
-        # ---- compact actives (sorted actives-first), phase B, scatter
-        n_px = hp * wp
+        # ---- phase B1: iters 16..32 UNCOMPACTED (most rays are still
+        # alive right after the prefix — compacting here would drop
+        # them; tiles whose rays all retired exit after one check)
         cs = jnp.concatenate(
             [cons.reshape(N_CONS, n_px), state.reshape(N_STATE, n_px)]
         )  # (21, n_px)
+        st1 = run_phase_b(
+            cs.reshape(N_CONS + N_STATE, n_px // 128, 128), n_px,
+            n_a, b1_end,
+        ).reshape(N_STATE, n_px)
+        state = st1.reshape(N_STATE, hp, wp)
+
+    if max_iterations > b1_end:
+        # ---- compact survivors (actives first), phase B2, scatter
+        cs = jnp.concatenate(
+            [cons.reshape(N_CONS, n_px), state.reshape(N_STATE, n_px)]
+        )
         cap = max(1024, int(n_px * compact_frac) // 1024 * 1024)
         done_f = cs[N_CONS + _ST.index("done")] > 0.5
         key = done_f.astype(jnp.int32) * (1 << 24) + jnp.arange(
@@ -352,57 +467,14 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
         idx = (jnp.sort(key)[:cap]) & ((1 << 24) - 1)
         comp = cs.T[idx].T  # one row gather: (21, cap)
 
-        # full mip>=1 pyramid, flat (R, 128), bf16 hi + residual lo
-        flat1 = jnp.concatenate([m.reshape(-1) for m in mips[1:]])
-        rpad = (-flat1.shape[0]) % 128
-        flat1 = jnp.pad(flat1, (0, rpad), constant_values=1.0)
-        tbl = flat1.reshape(-1, 128)
-        tbl_hi = tbl.astype(jnp.bfloat16)
-        tbl_lo = (tbl - tbl_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        st_b = run_phase_b(
+            comp.reshape(N_CONS + N_STATE, cap // 128, 128), cap,
+            b1_end, max_iterations,
+        ).reshape(N_STATE, cap)
 
-        offsets, widths, heights = [], [], []
-        off = 0
-        for (mh, mw) in shapes[1:]:
-            offsets.append(off)
-            widths.append(mw)
-            heights.append(mh)
-            off += mh * mw
-
-        grid_b = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(cap // 1024,),
-            in_specs=[
-                pl.BlockSpec((N_CONS + N_STATE, 8, 128),
-                             lambda i: (0, i, 0)),
-                pl.BlockSpec(tbl.shape, lambda i: (0, 0)),
-                pl.BlockSpec(tbl.shape, lambda i: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((N_STATE, 8, 128), lambda i: (0, i, 0)),
-        )
-        comp_blocks = comp.reshape(N_CONS + N_STATE, cap // 128, 128)
-        st_b = pl.pallas_call(
-            functools.partial(
-                _phase_b_kernel, h=h, w=w, offsets=tuple(offsets),
-                widths=tuple(widths), heights=tuple(heights), fovy=fovy,
-                aspect=aspect, znear=znear, zfar=zfar, start_iter=n_a,
-                max_iterations=max_iterations,
-            ),
-            grid_spec=grid_b,
-            out_shape=jax.ShapeDtypeStruct(
-                (N_STATE, cap // 128, 128), jnp.float32
-            ),
-            interpret=interpret,
-        )(comp_blocks, tbl_hi, tbl_lo)
-        st_b = st_b.reshape(N_STATE, cap)
-
-        # ---- phase C: exact mip-0 refinement of hit candidates (XLA)
-        if refine_iters > 0:
-            st_b = _refine(st_b, comp[:N_CONS], mips, shapes, fovy,
-                           aspect, znear, zfar, refine_iters,
-                           max_iterations)
-
-        # scatter the compacted results back; actives beyond capacity
-        # are dropped as invalid (same policy as the XLA path)
+        # Scatter the compacted results back. Actives beyond capacity
+        # are invalidated (never falsely valid) — the same drop policy
+        # as the XLA path's compaction.
         selected = jnp.zeros((n_px,), bool).at[idx].set(True)
         dropped = ~done_f & ~selected
         state_f = state.reshape(N_STATE, n_px).at[:, idx].set(st_b)
@@ -429,60 +501,10 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
     return position, ch("hor"), iters
 
 
-def _refine(st_b, cons_b, mips, shapes, fovy, aspect, znear, zfar,
-            refine_iters, max_iterations):
-    """Replay up to `refine_iters` exact iterations (all mips, XLA
-    gathers on the small compacted set) for rays phase B retired as
-    mip<1 hit candidates, recovering the reference's fine-mip hit
-    positions. Rays still marching afterwards are invalid (they would
-    re-climb; the XLA path retires them the same way at the cap)."""
-    from vkr_tpu.passes.ssr import fetch_pyramid, pack_pyramid
-
-    pyr = pack_pyramid(mips)
-    h, w = shapes[0]
-    c = {k: cons_b[i] for i, k in enumerate(_CN)}
-    c["mx"] = 0.005 / w
-    c["my"] = 0.005 / h
-    c.update(_derive(c))
-    st = {k: st_b[i] for i, k in enumerate(_ST)}
-
-    cand = (st["done"] > 0.5) & (st["oob"] < 0.5) & (st["mip"] < 1.0)
-    st["done"] = jnp.where(cand, 0.0, st["done"])
-    st["mip"] = jnp.where(cand, 0.0, st["mip"])
-    n_mips = len(shapes)
-
-    def body(j, st):
-        mip = st["mip"].astype(jnp.int32)
-        mipf = jnp.clip(mip, 0, n_mips - 1).astype(jnp.float32)
-        mip_resx = w * jnp.exp2(-mipf)
-        mip_resy = h * jnp.exp2(-mipf)
-        mpx = mip_resx * st["px"]
-        mpy = mip_resy * st["py"]
-        surface_z = fetch_pyramid(
-            pyr, jnp.clip(mip, 0, n_mips - 1),
-            mpx.astype(jnp.int32), mpy.astype(jnp.int32),
-        )
-        # per-ray iteration index: iters counts completed iterations
-        return _step(c, st, surface_z, st["iters"],
-                     mip0sample=False, min_mip=0, fovy=fovy,
-                     aspect=aspect, znear=znear, zfar=zfar,
-                     mip_resx=mip_resx, mip_resy=mip_resy,
-                     mpx=mpx, mpy=mpy)
-
-    def step_guard(j, st):
-        st2 = body(j, st)
-        # stop advancing rays past the iteration cap
-        over = st["iters"] >= max_iterations
-        return {k: jnp.where(over, st[k], st2[k]) for k in st}
-
-    st = jax.lax.fori_loop(0, refine_iters, step_guard, st)
-    return jnp.stack([st[k] for k in _ST])
-
 
 def hierarchical_march_pallas(mips, origin, direction, camera_start, w0,
                               params, max_iterations,
-                              compact_frac: float = 0.25,
-                              refine_iters: int = 4,
+                              compact_frac: float = 0.375,
                               interpret: bool = False):
     """Drop-in Pallas replacement for ssr._hierarchical_march
     (find_hor=True). mips: list of (h_l, w_l) depth arrays (the hi-Z
@@ -493,6 +515,5 @@ def hierarchical_march_pallas(mips, origin, direction, camera_start, w0,
         fovy=float(params.fovy), aspect=float(params.aspect),
         znear=float(params.znear), zfar=float(params.zfar),
         max_iterations=int(max_iterations),
-        compact_frac=float(compact_frac),
-        refine_iters=int(refine_iters), interpret=bool(interpret),
+        compact_frac=float(compact_frac), interpret=bool(interpret),
     )

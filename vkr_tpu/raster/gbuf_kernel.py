@@ -42,6 +42,7 @@ def _gbuf_kernel(
     starts_ref,   # scalar prefetch: (n_tiles,) i32 dense segment starts
     counts_ref,   # scalar prefetch: (n_tiles,) i32 pair counts
     pair_hbm,     # (n_rows, 128) f32 shared pair rows, HBM
+    peel_ref,     # (TH, TW) f32 depth-peel floor (-1 = no peeling)
     zbuf_ref,     # out: (TH, TW) f32
     tid_ref,      # out: (TH, TW) i32
     attr_ref,     # out: (N_CHANNELS + 1, TH, TW) f32 — attrs + mat id
@@ -67,6 +68,11 @@ def _gbuf_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
         + ty * tile_h
     ).astype(jnp.float32) + 0.5
+
+    # depth-peeling floor: only fragments strictly behind the previous
+    # layer survive (the visibility-buffer analog of a second fragment
+    # layer under per-fragment discard)
+    peel = peel_ref[...]
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
     init = (
@@ -107,7 +113,8 @@ def _gbuf_kernel(
             d = f(9) * px + f(10) * py + f(11)
             cover = (
                 (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
-                & (d >= 0.0) & (d <= 1.0) & (d <= carry[0]) & valid
+                & (d >= 0.0) & (d <= 1.0) & (d <= carry[0])
+                & (d > peel) & valid
             )
             carry[0] = jnp.where(cover, d, carry[0])
             carry[1] = jnp.where(cover, f(12), carry[1])
@@ -138,6 +145,7 @@ def gbuf_tiles(
     pair_rows,
     seg_starts,
     seg_counts,
+    peel_depth=None,
     *,
     width: int,
     height: int,
@@ -147,16 +155,33 @@ def gbuf_tiles(
 ):
     """Run the merged raster + resolve kernel.
 
+    peel_depth: optional (H, W) f32 — only fragments strictly BEHIND it
+    survive (depth-peeling layer for the alpha-MASK second pass).
+
     Returns (zbuf (H', W') f32, tri_id (H', W') i32,
     attrs (N_CHANNELS + 1, H', W') f32 = [uv(2), normal(3), prev_clip(4),
     mat_id]) — tile-aligned; crop to (height, width)."""
     tiles_x = -(-width // tile_w)
     tiles_y = -(-height // tile_h)
 
+    if peel_depth is None:
+        peel = jnp.full((tiles_y * tile_h, tiles_x * tile_w), -1.0,
+                        jnp.float32)
+    else:
+        peel = jnp.pad(
+            peel_depth,
+            ((0, tiles_y * tile_h - peel_depth.shape[0]),
+             (0, tiles_x * tile_w - peel_depth.shape[1])),
+            constant_values=-1.0,
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(tiles_y, tiles_x),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
+        ],
         out_specs=[
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
             pl.BlockSpec((tile_h, tile_w), lambda i, j, *_: (i, j)),
@@ -182,5 +207,5 @@ def gbuf_tiles(
             ),
         ],
         interpret=interpret,
-    )(seg_starts, seg_counts, pair_rows)
+    )(seg_starts, seg_counts, pair_rows, peel)
     return zbuf, tid, attrs

@@ -195,10 +195,11 @@ def rasterize_tiles(
     return zbuf, tid
 
 
-def rasterize_reference(setup, width: int, height: int, tri_chunk: int = 64):
+def rasterize_reference(setup, width: int, height: int, tri_chunk: int = 64,
+                        peel_depth=None):
     """Brute-force jnp rasterizer (no binning): the correctness oracle for
     the Pallas kernel, usable on any backend. O(T * pixels) — small scenes
-    and tests only."""
+    and tests only. peel_depth: depth-peeling floor (see pipeline)."""
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5
     px = xs[None, :]
@@ -207,6 +208,8 @@ def rasterize_reference(setup, width: int, height: int, tri_chunk: int = 64):
     n_tri = setup.a.shape[0]
     zbuf = jnp.ones((height, width), jnp.float32)
     tid = jnp.full((height, width), -1, jnp.int32)
+    peel = (jnp.full((height, width), -1.0, jnp.float32)
+            if peel_depth is None else peel_depth)
 
     def body(i, carry):
         zbuf, tid = carry
@@ -218,7 +221,8 @@ def rasterize_reference(setup, width: int, height: int, tri_chunk: int = 64):
         d = zp[0] * px + zp[1] * py + zp[2]
         cover = (
             (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-            & (d >= 0.0) & (d <= 1.0) & (d <= zbuf) & setup.valid[i]
+            & (d >= 0.0) & (d <= 1.0) & (d <= zbuf)
+            & (d > peel) & setup.valid[i]
         )
         return jnp.where(cover, d, zbuf), jnp.where(cover, i, tid)
 

@@ -47,6 +47,7 @@ def rasterize(
     y_offset=None,
     vertex_attrs=None,
     tri_mat=None,
+    peel_depth=None,
 ) -> VisibilityBuffer:
     """Rasterize `indices` (T, 3) over clip-space positions `clip` (V, 4).
 
@@ -59,6 +60,8 @@ def rasterize(
     pair_factor: bin-pair capacity as a multiple of the triangle count
     (measured scenes run ~1.7x; capacity-sized sort/gather work dominates
     the raster front end, so keep this tight).
+    peel_depth: optional (H, W) f32 — only fragments strictly BEHIND it
+    survive (depth peeling; the alpha-MASK second-layer pass).
     """
     corners, weights, src, valid = _setup.clip_near_triangles(clip, indices)
     setup = _setup.triangle_setup(corners, valid, width, height, jitter,
@@ -87,7 +90,7 @@ def rasterize(
             tri_rows = _rows.build_tri_rows(setup, cattrs, tri_mat[src])
             pair_setup = _rows.expand_pair_rows(tri_rows, pair_tri)
             zbuf, tid, attrs = _gk.gbuf_tiles(
-                pair_setup, seg_starts, seg_counts, **kw
+                pair_setup, seg_starts, seg_counts, peel_depth, **kw
             )
             resolved = attrs[:, :height, :width]
         else:
@@ -104,7 +107,8 @@ def rasterize(
             corners=corners, overflow=overflow, resolved=resolved,
         )
 
-    zbuf, tid = _kernel.rasterize_reference(setup, width, height)
+    zbuf, tid = _kernel.rasterize_reference(setup, width, height,
+                                            peel_depth=peel_depth)
     overflow = jnp.zeros((), jnp.int32)
     return VisibilityBuffer(
         depth=zbuf,

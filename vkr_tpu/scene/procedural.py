@@ -234,3 +234,158 @@ def colonnade_scene(
         build_colonnade(columns, tessellation, tex_size, foliage, seed),
         tex_size=tex_size,
     )
+
+
+def build_two_masked_quads(tex_size: int = 64) -> GltfScene:
+    """Two stacked alpha-MASK quads in front of an opaque backdrop — the
+    depth-peel test scene. The front quad's albedo has a transparent hole
+    in the middle; the back quad is solid, so per-fragment discard
+    semantics must reveal the BACK MASKED quad through the hole (not the
+    backdrop)."""
+    hole = np.full((tex_size, tex_size, 4), 255, np.uint8)
+    hole[..., :3] = 180
+    yy, xx = np.mgrid[0:tex_size, 0:tex_size]
+    c = tex_size / 2.0
+    hole[(xx - c) ** 2 + (yy - c) ** 2 < (tex_size * 0.3) ** 2, 3] = 0
+    solid = np.full((tex_size, tex_size, 4), 255, np.uint8)
+    solid[..., :3] = (40, 200, 40)
+    back = np.full((tex_size, tex_size, 4), 255, np.uint8)
+    back[..., :3] = (60, 60, 220)
+    mr_a = np.full((tex_size, tex_size, 4), 255, np.uint8)
+    mr_a[..., :3] = (0, 64, 32)
+    mr_b = np.full((tex_size, tex_size, 4), 255, np.uint8)
+    mr_b[..., :3] = (0, 192, 224)
+    mr_c = np.full((tex_size, tex_size, 4), 255, np.uint8)
+    mr_c[..., :3] = (0, 16, 128)
+
+    def quad_at(z, s=2.0):
+        pos = np.array([[-s, -s, z], [s, -s, z], [s, s, z], [-s, s, z]],
+                       np.float32)
+        nrm = np.tile(np.array([[0, 0, -1]], np.float32), (4, 1))
+        uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        idx = np.array([0, 1, 2, 0, 2, 3], np.uint32)
+        return pos, nrm, uv, idx
+
+    geoms = [
+        (quad_at(-1.0), 0),   # front masked (hole)
+        (quad_at(0.5), 1),    # back masked (solid)
+        (quad_at(2.0, 4.0), 2),  # opaque backdrop
+    ]
+    positions, normals, uvs, indices = [], [], [], []
+    meshes, draw_calls = [], []
+    v_off = i_off = 0
+    for mesh_id, ((pos, nrm, uv, idx), material) in enumerate(geoms):
+        positions.append(pos)
+        normals.append(nrm)
+        uvs.append(uv)
+        indices.append(idx)
+        meshes.append(
+            [Primitive(vertex_offset=v_off, index_offset=i_off,
+                       index_count=len(idx), material=material)]
+        )
+        draw_calls.append(
+            DrawCall(mesh=mesh_id, transform=np.eye(4, dtype=np.float32))
+        )
+        v_off += len(pos)
+        i_off += len(idx)
+
+    return GltfScene(
+        positions=np.concatenate(positions).astype(np.float32),
+        normals=np.concatenate(normals).astype(np.float32),
+        uvs=np.concatenate(uvs).astype(np.float32),
+        indices=np.concatenate(indices),
+        meshes=meshes,
+        materials=[
+            Material(albedo_tex=0, mr_tex=3, clip_alpha=True),
+            Material(albedo_tex=1, mr_tex=4, clip_alpha=True),
+            Material(albedo_tex=2, mr_tex=5),
+        ],
+        images=[hole, solid, back, mr_a, mr_b, mr_c],
+        texture_image=list(range(6)),
+        texture_wrap=[0] * 6,
+        draw_calls=draw_calls,
+        nodes=[],
+    )
+
+
+def two_masked_quads_scene(tex_size: int = 64) -> CompiledScene:
+    return compile_scene(build_two_masked_quads(tex_size),
+                         tex_size=tex_size)
+
+
+SPONZA_GLTF = "/root/reference/assets/gltf/Sponza/glTF/Sponza.gltf"
+
+
+def sponza_texture_set(tex_size: int = 512):
+    """Load the REAL Sponza material/texture set from the reference's
+    bundled glTF (the geometry blob is stripped from /root/reference, but
+    all 69 texture files and the 25-material table are intact). Returns
+    (materials, images, texture_image, texture_wrap) for build_colonnade.
+
+    Reference parity: scene.cpp:104-181 loads the same material fields
+    (baseColor/metallicRoughness texture indices, MASK alpha mode) and
+    images.cpp loads the same files; samplers are REPEAT (Sponza.gltf
+    samplers[0] wrapS/T = 10497)."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from vkr_tpu.scene.gltf import WRAP_REPEAT
+
+    with open(SPONZA_GLTF) as f:
+        doc = json.load(f)
+    base = os.path.dirname(SPONZA_GLTF)
+    images = []
+    for img in doc.get("images", []):
+        im = Image.open(os.path.join(base, img["uri"])).convert("RGBA")
+        if im.size != (tex_size, tex_size):
+            im = im.resize((tex_size, tex_size), Image.BILINEAR)
+        images.append(np.asarray(im, np.uint8))
+    texture_image = [t["source"] for t in doc.get("textures", [])]
+    materials = []
+    for m in doc.get("materials", []):
+        pbr = m.get("pbrMetallicRoughness", {})
+        materials.append(Material(
+            albedo_tex=pbr.get("baseColorTexture", {}).get("index", -1),
+            mr_tex=pbr.get("metallicRoughnessTexture", {}).get("index",
+                                                               -1),
+            clip_alpha=m.get("alphaMode") == "MASK",
+            alpha_cutoff=m.get("alphaCutoff", 0.5),
+        ))
+    return materials, images, texture_image, [WRAP_REPEAT] * len(images)
+
+
+def sponza_colonnade_scene(
+    columns: int = 24, tessellation: int = 80, tex_size: int = 512,
+    foliage: bool = True, seed: int = 0,
+) -> CompiledScene:
+    """The bench workload at reference scale: colonnade geometry at
+    Sponza-like triangle counts (>=260k at the defaults) textured with
+    Sponza's REAL 25-material / 69-texture set."""
+    scene = build_colonnade(columns, tessellation, tex_size, foliage,
+                            seed)
+    materials, images, texture_image, wrap = sponza_texture_set(tex_size)
+    # Map the colonnade's 6 material slots onto real Sponza materials:
+    # big surfaces get the large architectural materials, foliage gets a
+    # MASK material (Sponza's chain/vegetation class).
+    mask_ids = [i for i, m in enumerate(materials) if m.clip_alpha]
+    solid_ids = [i for i, m in enumerate(materials)
+                 if not m.clip_alpha and m.albedo_tex >= 0]
+    remap = [solid_ids[i % len(solid_ids)] for i in range(5)]
+    remap.append(mask_ids[0] if mask_ids else solid_ids[0])
+    meshes = [
+        [Primitive(vertex_offset=p.vertex_offset,
+                   index_offset=p.index_offset,
+                   index_count=p.index_count,
+                   material=remap[p.material])
+         for p in prims]
+        for prims in scene.meshes
+    ]
+    scene = GltfScene(
+        positions=scene.positions, normals=scene.normals, uvs=scene.uvs,
+        indices=scene.indices, meshes=meshes, materials=materials,
+        images=images, texture_image=texture_image, texture_wrap=wrap,
+        draw_calls=scene.draw_calls, nodes=scene.nodes,
+    )
+    return compile_scene(scene, tex_size=tex_size)
