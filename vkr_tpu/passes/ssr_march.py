@@ -291,25 +291,30 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
         f0col = (flat0 & 127)[..., None] == col_iota
 
         def fetch0():
+            # Rays at mip 0 are spatially coherent (phase A starts them
+            # in their own tile), so per chunk skip the contraction when
+            # no ray's row lands in it — typically one chunk fires.
             acc = jnp.zeros((8, 128, 128), jnp.float32)
             for s in range(0, R0, _M0_CHUNK):
-                oh0 = ((f0row - s)[..., None] == ck_iota
-                       ).astype(jnp.bfloat16)
-                acc = acc + jnp.einsum(
-                    "slh,hw->slw", oh0, hi0_ref[s : s + _M0_CHUNK, :],
-                    preferred_element_type=jnp.float32)
-                acc = acc + jnp.einsum(
-                    "slh,hw->slw", oh0, lo0_ref[s : s + _M0_CHUNK, :],
-                    preferred_element_type=jnp.float32)
+                in_chunk = at0 & (f0row >= s) & (f0row < s + _M0_CHUNK)
+
+                def hit(s=s):
+                    oh0 = ((f0row - s)[..., None] == ck_iota
+                           ).astype(jnp.bfloat16)
+                    part = jnp.einsum(
+                        "slh,hw->slw", oh0, hi0_ref[s : s + _M0_CHUNK, :],
+                        preferred_element_type=jnp.float32)
+                    return part + jnp.einsum(
+                        "slh,hw->slw", oh0, lo0_ref[s : s + _M0_CHUNK, :],
+                        preferred_element_type=jnp.float32)
+
+                acc = acc + jax.lax.cond(
+                    jnp.any(in_chunk), hit,
+                    lambda: jnp.zeros((8, 128, 128), jnp.float32))
             return jnp.where(f0col, acc, 0.0).sum(-1)
 
-        # NOTE: an earlier version gated fetch0 behind
-        # lax.cond(jnp.any(at0), ...) to skip tiles with no mip-0 rays;
-        # on real TPU hardware the cond produced the false-branch zeros
-        # for tiles that DID have mip-0 rays (interpret mode was
-        # correct), turning every first fine-level descent into a false
-        # hit. Unconditional fetch until that is understood.
-        z0 = fetch0()
+        z0 = jax.lax.cond(jnp.any(at0), fetch0,
+                          lambda: jnp.zeros((8, 128), jnp.float32))
         surface_z = jnp.where(at0, z0, surface_z)
 
         st = _step(c, st, surface_z, i.astype(jnp.float32),
