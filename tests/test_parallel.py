@@ -88,14 +88,9 @@ def test_band_viewport_raster_matches_full():
     tid_bands = np.concatenate(
         [np.asarray(b.tri_id) for b in bands], axis=0
     )
-    # The band transform translates screen y before building edge
-    # equations, so triangle-boundary pixels can flip winners (float
-    # translation non-invariance) — production band mode would apply the
-    # offset inside the kernel instead. Expect only boundary-level
-    # disagreement here.
+    # BAND-EXACT: the edge/depth coefficients stay in full-frame float
+    # coordinates (no translation) and the kernel offsets its pixel
+    # rows, so banded output is bitwise identical to the full frame.
     tid_full = np.asarray(full.tri_id)
-    mismatch = (tid_bands != tid_full).mean()
-    assert mismatch < 0.02, mismatch
-    agree = tid_bands == tid_full
-    np.testing.assert_allclose(depth_bands[agree],
-                               np.asarray(full.depth)[agree], atol=1e-5)
+    np.testing.assert_array_equal(tid_bands, tid_full)
+    np.testing.assert_array_equal(depth_bands, np.asarray(full.depth))

@@ -152,7 +152,13 @@ def render_frame(
                 pyr, hiz.normal_half, gbuf.material, ssr_res.pdf_lut, sp,
                 state.frame_index, ssr_res.halton,
                 max_iterations=cfg.ssr.max_iterations,
-                use_kernel=use_pallas, interpret=interpret,
+                # The Pallas march in interpret mode both loses the
+                # bf16 hi/lo residual precision and inflates XLA:CPU
+                # compiles to many minutes; CPU runs use the XLA
+                # oracle march (the kernel has its own interpret-mode
+                # tests at small sizes).
+                use_kernel=use_pallas and not interpret,
+                interpret=interpret,
             ),
         )
         reflections = add_task(

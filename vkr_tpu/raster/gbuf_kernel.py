@@ -41,6 +41,7 @@ _N_COEF = 3 + 3 * N_CHANNELS + 1
 def _gbuf_kernel(
     starts_ref,   # scalar prefetch: (n_tiles,) i32 dense segment starts
     counts_ref,   # scalar prefetch: (n_tiles,) i32 pair counts
+    yoff_ref,     # scalar prefetch: (1,) i32 band row offset
     pair_hbm,     # (n_rows, 128) f32 shared pair rows, HBM
     peel_ref,     # (TH, TW) f32 depth-peel floor (-1 = no peeling)
     zbuf_ref,     # out: (TH, TW) f32
@@ -66,7 +67,7 @@ def _gbuf_kernel(
     ).astype(jnp.float32) + 0.5
     py = (
         jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-        + ty * tile_h
+        + ty * tile_h + yoff_ref[0]
     ).astype(jnp.float32) + 0.5
 
     # depth-peeling floor: only fragments strictly behind the previous
@@ -146,6 +147,7 @@ def gbuf_tiles(
     seg_starts,
     seg_counts,
     peel_depth=None,
+    row_offset=None,
     *,
     width: int,
     height: int,
@@ -157,6 +159,7 @@ def gbuf_tiles(
 
     peel_depth: optional (H, W) f32 — only fragments strictly BEHIND it
     survive (depth-peeling layer for the alpha-MASK second pass).
+    row_offset: optional () i32 band row origin (band-exact viewports).
 
     Returns (zbuf (H', W') f32, tri_id (H', W') i32,
     attrs (N_CHANNELS + 1, H', W') f32 = [uv(2), normal(3), prev_clip(4),
@@ -175,8 +178,11 @@ def gbuf_tiles(
             constant_values=-1.0,
         )
 
+    yoff = jnp.zeros((1,), jnp.int32) if row_offset is None else (
+        jnp.asarray(row_offset, jnp.int32).reshape(1)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(tiles_y, tiles_x),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -207,5 +213,5 @@ def gbuf_tiles(
             ),
         ],
         interpret=interpret,
-    )(seg_starts, seg_counts, pair_rows, peel)
+    )(seg_starts, seg_counts, yoff, pair_rows, peel)
     return zbuf, tid, attrs

@@ -68,6 +68,8 @@ def chunk_dma(pair_hbm, scratch, sem, row0):
 def _raster_kernel(
     starts_ref,   # scalar prefetch: (n_tiles,) i32 dense segment starts
     counts_ref,   # scalar prefetch: (n_tiles,) i32 pair counts
+    yoff_ref,     # scalar prefetch: (1,) i32 band row offset (band-exact
+                  # viewports: pixel rows are FULL-frame coordinates)
     pair_hbm,     # (n_rows, 128) f32 pair buffer (2 pairs per row), HBM
     zbuf_ref,     # out: (TH, TW) f32
     tid_ref,      # out: (TH, TW) i32
@@ -91,7 +93,7 @@ def _raster_kernel(
     ).astype(jnp.float32) + 0.5
     py = (
         jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-        + ty * tile_h
+        + ty * tile_h + yoff_ref[0]
     ).astype(jnp.float32) + 0.5
 
     zbuf0 = jnp.ones((tile_h, tile_w), jnp.float32)
@@ -153,6 +155,7 @@ def rasterize_tiles(
     pair_setup,
     seg_starts,
     seg_counts,
+    row_offset=None,
     *,
     width: int,
     height: int,
@@ -162,14 +165,20 @@ def rasterize_tiles(
 ):
     """Run the Pallas visibility rasterizer.
 
+    row_offset: optional () i32 — first pixel row of this band in
+    full-frame coordinates (band-exact viewports).
+
     Returns (zbuf (H', W') f32, tri_id (H', W') i32) where H'/W' are the
     tile-aligned dimensions (crop to (height, width) for consumption).
     """
     tiles_x = -(-width // tile_w)
     tiles_y = -(-height // tile_h)
+    yoff = jnp.zeros((1,), jnp.int32) if row_offset is None else (
+        jnp.asarray(row_offset, jnp.int32).reshape(1)
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(tiles_y, tiles_x),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=[
@@ -191,17 +200,20 @@ def rasterize_tiles(
                                  jnp.int32),
         ],
         interpret=interpret,
-    )(seg_starts, seg_counts, pair_setup)
+    )(seg_starts, seg_counts, yoff, pair_setup)
     return zbuf, tid
 
 
 def rasterize_reference(setup, width: int, height: int, tri_chunk: int = 64,
-                        peel_depth=None):
+                        peel_depth=None, row_offset=None):
     """Brute-force jnp rasterizer (no binning): the correctness oracle for
     the Pallas kernel, usable on any backend. O(T * pixels) — small scenes
-    and tests only. peel_depth: depth-peeling floor (see pipeline)."""
+    and tests only. peel_depth: depth-peeling floor (see pipeline);
+    row_offset: band-exact viewport row origin."""
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    if row_offset is not None:
+        ys = ys + jnp.asarray(row_offset, jnp.float32)
     px = xs[None, :]
     py = ys[:, None]
 

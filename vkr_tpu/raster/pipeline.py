@@ -90,14 +90,15 @@ def rasterize(
             tri_rows = _rows.build_tri_rows(setup, cattrs, tri_mat[src])
             pair_setup = _rows.expand_pair_rows(tri_rows, pair_tri)
             zbuf, tid, attrs = _gk.gbuf_tiles(
-                pair_setup, seg_starts, seg_counts, peel_depth, **kw
+                pair_setup, seg_starts, seg_counts, peel_depth, y_offset,
+                **kw
             )
             resolved = attrs[:, :height, :width]
         else:
             tri_rows = _rows.build_tri_rows(setup)
             pair_setup = _rows.expand_pair_rows(tri_rows, pair_tri)
             zbuf, tid = _kernel.rasterize_tiles(
-                pair_setup, seg_starts, seg_counts, **kw
+                pair_setup, seg_starts, seg_counts, y_offset, **kw
             )
             resolved = None
         zbuf = zbuf[:height, :width]
@@ -108,7 +109,8 @@ def rasterize(
         )
 
     zbuf, tid = _kernel.rasterize_reference(setup, width, height,
-                                            peel_depth=peel_depth)
+                                            peel_depth=peel_depth,
+                                            row_offset=y_offset)
     overflow = jnp.zeros((), jnp.int32)
     return VisibilityBuffer(
         depth=zbuf,

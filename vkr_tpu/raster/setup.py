@@ -171,9 +171,12 @@ def triangle_setup(
     jitter to gl_Position but passes unjittered clip down for velocity,
     opaque_taa.vert:40-43).
 
-    full_height/y_offset: band-viewport rendering for multi-chip pixel-band
-    sharding (parallel/sharding.py) — screen y is computed against the full
-    framebuffer height, then translated into the local band.
+    full_height/y_offset: band-viewport rendering for multi-chip
+    pixel-band sharding (parallel/sharding.py). BAND-EXACT: the edge /
+    depth-plane coefficients stay in FULL-frame coordinates (bitwise
+    identical to the full-frame setup — no float translation); only the
+    integer pixel bbox is windowed to the band, and the raster kernel
+    offsets its pixel rows by y_offset (kernel.py row_offset).
     """
     w = corners[..., 3]
     inv_w = 1.0 / jnp.where(jnp.abs(w) < 1e-20, 1e-20, w)
@@ -183,9 +186,8 @@ def triangle_setup(
 
     x = (ndc[..., 0] * 0.5 + 0.5) * width   # (T, 3)
     y = (ndc[..., 1] * 0.5 + 0.5) * (full_height or height)
-    if y_offset is not None:
-        y = y - y_offset
     d = ndc[..., 2]
+    y_off = 0 if y_offset is None else y_offset
 
     # Signed doubled area; orientation-normalize (two-sided raster).
     area = (x[:, 1] - x[:, 0]) * (y[:, 2] - y[:, 0]) - (
@@ -220,16 +222,23 @@ def triangle_setup(
     c_unbiased = ((yk - yj) * xj - (xk - xj) * yj) * s[:, None]
     zc = jnp.sum(c_unbiased * d, axis=-1) * inv_area
 
-    # Pixel bbox (inclusive), clamped to the viewport.
+    # Pixel bbox (inclusive), clamped to the band viewport; bbox rows are
+    # stored band-relative (integer subtraction — exact) so binning and
+    # the kernels work in local tiles while the float coefficients stay
+    # global.
     x0 = jnp.clip(jnp.floor(jnp.min(x, axis=-1) - 0.5), 0, width - 1)
     x1 = jnp.clip(jnp.ceil(jnp.max(x, axis=-1) - 0.5), 0, width - 1)
-    y0 = jnp.clip(jnp.floor(jnp.min(y, axis=-1) - 0.5), 0, height - 1)
-    y1 = jnp.clip(jnp.ceil(jnp.max(y, axis=-1) - 0.5), 0, height - 1)
+    y0 = jnp.clip(
+        jnp.floor(jnp.min(y, axis=-1) - 0.5) - y_off, 0, height - 1
+    )
+    y1 = jnp.clip(
+        jnp.ceil(jnp.max(y, axis=-1) - 0.5) - y_off, 0, height - 1
+    )
     offscreen = (
         (jnp.max(x, axis=-1) < 0.5)
         | (jnp.min(x, axis=-1) > width - 0.5)
-        | (jnp.max(y, axis=-1) < 0.5)
-        | (jnp.min(y, axis=-1) > height - 0.5)
+        | (jnp.max(y, axis=-1) < y_off + 0.5)
+        | (jnp.min(y, axis=-1) > y_off + height - 0.5)
     )
     ok = ok & ~offscreen
     bbox = jnp.stack([x0, y0, x1, y1], axis=-1).astype(jnp.int32)
