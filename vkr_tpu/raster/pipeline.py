@@ -39,7 +39,7 @@ def rasterize(
     tile_h: int = 8,
     tile_w: int = 128,
     pair_capacity: Optional[int] = None,
-    pair_factor: float = 4.0,
+    pair_factor: float = 3.0,
     jitter=None,
     use_pallas: bool = True,
     interpret: bool = False,
@@ -59,7 +59,9 @@ def rasterize(
     resolve kernel can reuse them (raster/pair_rows.py).
     pair_factor: bin-pair capacity as a multiple of the triangle count
     (measured scenes run ~1.7x; capacity-sized sort/gather work dominates
-    the raster front end, so keep this tight).
+    the raster front end, so keep this tight — overflow is surfaced
+    loudly via VisibilityBuffer.overflow / GBuffer.overflow and fails
+    the bench).
     peel_depth: optional (H, W) f32 — only fragments strictly BEHIND it
     survive (depth peeling; the alpha-MASK second-layer pass).
     """

@@ -20,7 +20,10 @@ def corner_attributes(vertex_attr, indices, weights, src):
     (TC, 3, K), applying the near-clip interpolation weights
     (setup.clip_near_triangles)."""
     tri_attr = vertex_attr[indices[src]]  # (TC, 3 src corners, K)
-    return jnp.einsum("tcw,twk->tck", weights, tri_attr, precision="highest")
+    # broadcast-sum instead of einsum: batched (3,3)x(3,K) matmuls lower
+    # terribly on the MXU (measured ~12 ms at 270k triangles; this form
+    # fuses on the VPU)
+    return (weights[..., :, None] * tri_attr[:, None, :, :]).sum(2)
 
 
 def pixel_barycentrics(tid, setup, width: int, height: int):

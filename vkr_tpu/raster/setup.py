@@ -93,14 +93,18 @@ def clip_near_triangles(clip, indices):
     rot_two = jnp.where(~i0, 1, jnp.where(~i1, 2, 0))
     rot = jnp.where(n_inside == 1, rot_one, rot_two)  # (T,)
 
-    corner_ids = (rot[:, None] + jnp.arange(3)[None, :]) % 3  # (T, 3)
-    # Rotation as a one-hot permutation matmul (dense) — take_along_axis /
-    # scatter lower to scalarized gathers on TPU.
-    rot_onehot = (
-        corner_ids[:, :, None] == jnp.arange(3)[None, None, :]
-    ).astype(clip.dtype)  # (T, new corner i, old corner k)
-    tri_r = jnp.einsum("tik,tkc->tic", rot_onehot, tri,
-                       precision="highest")
+    # Cyclic rotation as select chains (take_along_axis/scatter lower to
+    # scalarized gathers; tiny one-hot einsums lower to terrible batched
+    # MXU matmuls — both measured far slower than 2 selects per corner).
+    def _cyc(a, i):
+        """a[:, (rot + i) % 3] for a (T, 3, ...)."""
+        r = rot.reshape(rot.shape + (1,) * (a.ndim - 2))
+        return jnp.where(
+            r == 0, a[:, i % 3],
+            jnp.where(r == 1, a[:, (i + 1) % 3], a[:, (i + 2) % 3]),
+        )
+
+    tri_r = jnp.stack([_cyc(tri, i) for i in range(3)], axis=1)
     zr = tri_r[..., 2]
 
     def lerp_t(za, zb):
@@ -141,12 +145,19 @@ def clip_near_triangles(clip, indices):
     valid1 = n_inside >= 1
     valid2 = n_inside == 2
 
-    # Un-rotate weights back to original corner order: weight j of rotated
-    # corner applies to original corner corner_ids[j] — the transpose of
-    # the rotation permutation, again as a dense one-hot contraction.
+    # Un-rotate weights back to original corner order: weight j of the
+    # rotated corner applies to original corner (rot + j) % 3, i.e.
+    # out[:, c, k] = w[:, c, (k - rot) % 3] — select chains again.
     def unrotate(w):
-        return jnp.einsum("tkj,tck->tcj", rot_onehot, w,
-                          precision="highest")
+        r = rot[:, None]
+        cols = []
+        for k in range(3):
+            cols.append(jnp.where(
+                r == 0, w[..., k % 3],
+                jnp.where(r == 1, w[..., (k - 1) % 3],
+                          w[..., (k - 2) % 3]),
+            ))
+        return jnp.stack(cols, axis=-1)
 
     w1 = unrotate(w1)
     w2 = unrotate(w2)
@@ -154,7 +165,9 @@ def clip_near_triangles(clip, indices):
     weights = jnp.concatenate([w1, w2], axis=0)  # (2T, 3, 3)
     src = jnp.concatenate([jnp.arange(tri.shape[0])] * 2, axis=0)
     valid = jnp.concatenate([valid1, valid2], axis=0)
-    corners = jnp.einsum("tcw,twk->tck", weights, tri[src], precision="highest")  # (2T, 3, 4)
+    tri2 = jnp.concatenate([tri, tri], axis=0)
+    # broadcast-sum (see resolve.corner_attributes for the rationale)
+    corners = (weights[..., :, None] * tri2[:, None, :, :]).sum(2)
     return corners, weights, src, valid
 
 
