@@ -19,8 +19,8 @@ for 16-byte, ~42 ms for 32-byte). Layouts here are chosen around that:
   * `pair_quad` (32 B) — albedo+metallic-roughness quads zipped per
     material so deferred G-buffer texturing is ONE gather per pixel
     instead of two (25% cheaper than 2 x 16 B).
-Tiny per-material/per-texture tables are read with `small_lookup` select
-chains — a 2M-index gather from even an 8-entry table costs ~12 ms.
+Tiny per-material/per-texture tables are read through `small_lookup`
+(see its docstring for the coherent-vs-random gather measurements).
 """
 
 from __future__ import annotations
@@ -38,18 +38,16 @@ import dataclasses
 import jax
 
 
-def small_lookup(table, idx, limit: int = 96):
-    """table[idx] for a SMALL table without a scalarized gather: a chain
-    of scalar-broadcast selects (len(table) vector ops) instead of an
-    index-count-priced gather. Falls back to a real gather for big
-    tables."""
-    n = int(table.shape[0])
-    if n > limit:
-        return table[idx]
-    out = jnp.broadcast_to(table[0], idx.shape)
-    for i in range(1, n):
-        out = jnp.where(idx == i, table[i], out)
-    return out
+def small_lookup(table, idx):
+    """Per-pixel read of a tiny per-material/per-texture table.
+
+    Measured on v5e: for the SPATIALLY COHERENT index images these
+    lookups see, a plain gather runs ~3 ms per 2M indices — select
+    chains (one where per entry) are SLOWER even at 8 entries (~6 ms)
+    and scale linearly with table size. (Random-index gathers are ~4x
+    pricier, which is what motivated chains originally.) Kept as a
+    helper so the access pattern stays greppable/tunable."""
+    return table[idx]
 
 
 @jax.tree_util.register_pytree_node_class
