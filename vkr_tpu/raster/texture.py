@@ -89,15 +89,21 @@ class TextureArray:
                    pair_wrap=pair_wrap)
 
 
-def _quad_neighbors(img, repeat: bool):
-    if repeat:
-        xr = np.roll(img, -1, axis=1)
-        yd = np.roll(img, -1, axis=0)
-        yxd = np.roll(xr, -1, axis=0)
-    else:
-        xr = np.concatenate([img[:, 1:], img[:, -1:]], axis=1)
-        yd = np.concatenate([img[1:], img[-1:]], axis=0)
-        yxd = np.concatenate([xr[1:], xr[-1:]], axis=0)
+def _quad_neighbors_batch(imgs, repeat_mask):
+    """Wrap-aware +x/+y/+xy neighbors for a whole (NT, S, S, 4) level at
+    once (vectorized: the per-texture python loop cost ~3 min at
+    69 x 1024^2)."""
+    xr_rep = np.roll(imgs, -1, axis=2)
+    yd_rep = np.roll(imgs, -1, axis=1)
+    xr_cl = np.concatenate([imgs[:, :, 1:], imgs[:, :, -1:]], axis=2)
+    yd_cl = np.concatenate([imgs[:, 1:], imgs[:, -1:]], axis=1)
+    m = repeat_mask[:, None, None, None]
+    xr = np.where(m, xr_rep, xr_cl)
+    yd = np.where(m, yd_rep, yd_cl)
+    yxd = np.where(
+        m, np.roll(xr_rep, -1, axis=1),
+        np.concatenate([xr_cl[:, 1:], xr_cl[:, -1:]], axis=1),
+    )
     return xr, yd, yxd
 
 
@@ -121,17 +127,16 @@ def pack_texture_array(
     nt = tex_mips[0].shape[0]
     wrap_np = np.asarray(wrap, np.int32)
 
+    rep_mask = np.zeros(nt, bool)
+    rep_mask[: len(wrap_np)] = wrap_np == WRAP_REPEAT
     flat = np.zeros((nt, flat_len, 4), np.uint8)
     quad = np.zeros((nt, flat_len, 16), np.uint8)
     for m, o, s in zip(tex_mips, offsets, sizes):
         flat[:, o : o + s * s] = m.reshape(nt, s * s, 4)
-        for t in range(nt):
-            img = m[t]
-            rep = t < len(wrap_np) and wrap_np[t] == WRAP_REPEAT
-            xr, yd, yxd = _quad_neighbors(img, rep)
-            quad[t, o : o + s * s] = np.concatenate(
-                [img, xr, yd, yxd], axis=-1
-            ).reshape(s * s, 16)
+        xr, yd, yxd = _quad_neighbors_batch(m, rep_mask)
+        quad[:, o : o + s * s] = np.concatenate(
+            [m, xr, yd, yxd], axis=-1
+        ).reshape(nt, s * s, 16)
     alpha = quad[..., 3::4].copy()  # (nt, flat, 4) u8 — quad alphas
 
     pair_quad = mat_pair = pair_wrap = None
