@@ -94,3 +94,53 @@ def test_band_viewport_raster_matches_full():
     tid_full = np.asarray(full.tri_id)
     np.testing.assert_array_equal(tid_bands, tid_full)
     np.testing.assert_array_equal(depth_bands, np.asarray(full.depth))
+
+
+def test_band_sharded_frame_bit_matches_single_device():
+    """parallel/band.py: the band-sharded FULL frame (sharded raster +
+    gathered image-space chain) is bitwise identical to the
+    single-device frame."""
+    import dataclasses
+
+    import jax
+    from jax.sharding import Mesh
+
+    from vkr_tpu.config import RenderConfig
+    from vkr_tpu.core.framestate import FrameState
+    from vkr_tpu.frame import (build_ssr_resources, camera_frame,
+                               render_frame)
+    from vkr_tpu.mathlib import look_at
+    from vkr_tpu.parallel import render_frame_banded
+    from vkr_tpu.passes.gbuffer import upload_scene
+    from vkr_tpu.scene import colonnade_scene
+
+    H = W = 64
+    cfg = RenderConfig(width=W, height=H)
+    cfg = dataclasses.replace(
+        cfg, ssr=dataclasses.replace(cfg.ssr, max_iterations=8)
+    )
+    scene = upload_scene(
+        colonnade_scene(columns=2, tessellation=6, tex_size=32)
+    )
+    res = build_ssr_resources(32)
+    view = look_at((-6, 2.2, -2), (4, 1.8, 0.5), (0, -1, 0))
+    cam = camera_frame(cfg, view, view, 0)
+
+    color_1, state_1, _ = render_frame(
+        scene, FrameState.initial(H, W), cam, res, cfg,
+        use_pallas=True, interpret=True,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("bands",))
+    color_b, state_b, aux_b = render_frame_banded(
+        scene, FrameState.initial(H, W), cam, res, cfg, mesh,
+        use_pallas=True, interpret=True,
+    )
+
+    np.testing.assert_array_equal(np.asarray(color_b),
+                                  np.asarray(color_1))
+    np.testing.assert_array_equal(np.asarray(state_b.taa_history),
+                                  np.asarray(state_1.taa_history))
+    np.testing.assert_array_equal(np.asarray(state_b.prev_depth),
+                                  np.asarray(state_1.prev_depth))
+    assert int(np.asarray(aux_b["overflow"])) == 0

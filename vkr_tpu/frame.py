@@ -131,6 +131,29 @@ def render_frame(
             mask_peel_layers=cfg.raster.mask_peel_layers,
         ),
     )
+    return shade_frame(gbuf, state, cam, ssr_res, cfg,
+                       probe_grid=probe_grid, use_pallas=use_pallas,
+                       interpret=interpret)
+
+
+def shade_frame(
+    gbuf,
+    state: FrameState,
+    cam: CameraFrame,
+    ssr_res: SSRResources,
+    cfg: RenderConfig,
+    *,
+    probe_grid=None,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """The image-space chain after the G-buffer (hi-Z -> SSR -> GTAO ->
+    shading -> TAA -> history). Split out so the band-parallel frame
+    (parallel/band.py) can feed it a gathered full-frame G-buffer."""
+    h, w = cfg.height, cfg.width
+    inv_view = _inv4(cam.view)
+    prev_inv_view = _inv4(cam.prev_view)
+    nm = _normal_mat4(cam.view)
 
     hiz = add_task(
         "DownsampleGbuffer",

@@ -179,8 +179,16 @@ def render_gbuffer(
     use_pallas: bool = True,
     interpret: bool = False,
     mask_peel_layers: int = 1,
+    full_height: int = None,
+    row_offset=None,
 ) -> GBuffer:
-    """mask_peel_layers: how many alpha-MASK transparency layers to
+    """full_height/row_offset: band-viewport mode (multi-chip pixel-band
+    sharding, parallel/band.py): render rows [row_offset,
+    row_offset + height) of a full_height-tall framebuffer, band-exact
+    (coverage/attributes bitwise equal to the same rows of a full-frame
+    render).
+
+    mask_peel_layers: how many alpha-MASK transparency layers to
     resolve. 1 (default) = closest masked fragment only; 2 adds a
     depth-peeled second pass so a masked fragment whose alpha==0 reveals
     the NEXT masked surface behind it instead of skipping straight to
@@ -204,7 +212,8 @@ def render_gbuffer(
     vattrs = jnp.concatenate([scene.uvs, world_n, prev_clip], axis=-1)
     rkw = dict(width=width, height=height, jitter=jitter,
                use_pallas=use_pallas, interpret=interpret,
-               vertex_attrs=vattrs if use_pallas else None)
+               vertex_attrs=vattrs if use_pallas else None,
+               full_height=full_height, y_offset=row_offset)
     akw = dict(width=width, height=height, interpret=interpret)
     vis = rasterize(clip, scene.tri_opaque,
                     tri_mat=scene.tri_opaque_mat, **rkw)
@@ -336,8 +345,11 @@ def render_gbuffer(
     )
     # Current unjittered NDC is analytic: the raster covered this pixel with
     # jittered geometry, so interpolated pos_after == pixel ndc - jitter.
+    fh = full_height or height
+    r0 = 0 if row_offset is None else row_offset
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0
+    ys = ((r0 + jnp.arange(height, dtype=jnp.float32)) + 0.5) / fh \
+        * 2.0 - 1.0
     cur_ndc = jnp.stack(
         jnp.meshgrid(xs, ys), axis=-1
     ) - jnp.asarray(jitter)[None, None, :]
