@@ -11,7 +11,12 @@ The bands are then all_gathered over ICI (a few MB of G-buffer planes)
 and the image-space chain (hi-Z, SSR, GTAO, shading, TAA) runs on the
 full-frame G-buffer replicated per device — deterministically identical
 everywhere, so the whole banded frame bit-matches the single-device
-frame. Sharding the image-space passes too (banded compute over gathered
+frame when run eagerly (tests/test_parallel.py asserts bitwise
+equality); under jit, XLA may fuse the image-chain reductions of the two
+DIFFERENT programs differently — 1-ULP deltas that can cascade through
+the branchy SSR/GTAO marches (measured max ~1e-5, well below the 1/255
+quantization step).
+Sharding the image-space passes too (banded compute over gathered
 inputs, each pass taking a row-origin) is the staged next step
 (ROADMAP.md round-3 plan); this version scales the rasterization and
 texturing workload only.
