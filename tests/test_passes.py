@@ -356,3 +356,51 @@ class TestUtilPasses:
         img = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
         out = blit_image(img, 4, 4)
         assert out.shape == (4, 4)
+
+
+class TestShadowPath:
+    def test_occluder_shadows_floor(self):
+        """shadows.py: a quad floating above a floor, light from
+        straight overhead — floor texels under the quad are occluded,
+        the rest are lit (render_shadow / shaders/shadows/)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from vkr_tpu.mathlib import look_at, perspective
+        from vkr_tpu.passes.gbuffer import upload_scene
+        from vkr_tpu.passes.shadows import (render_shadow_map,
+                                            sample_shadow_factor)
+        from vkr_tpu.scene.procedural import two_masked_quads_scene
+
+        # reuse the stacked-quads scene: backdrop at z=2 is the "floor",
+        # the z=-1 quad the occluder; light looks down +z
+        scene = upload_scene(two_masked_quads_scene(tex_size=16))
+        light_view = look_at((0.0, 0.0, -8.0), (0.0, 0.0, 1.0),
+                             (0, -1, 0))
+        light_proj = perspective(np.radians(45), 1.0, 0.5, 40.0)
+        mvp = jnp.asarray(light_proj @ light_view)
+        sm = render_shadow_map(scene, mvp, size=128, use_pallas=False)
+        assert float(sm.min()) < 1.0  # something rendered
+
+        # world points on the backdrop plane: one behind the occluder
+        # quad (|x|,|y| < 2), one outside it (on the 4-wide backdrop)
+        pts = jnp.asarray([[[0.0, 0.0, 2.0], [3.5, 3.5, 2.0]]])
+        f = np.asarray(sample_shadow_factor(pts, mvp, sm))
+        assert f[0, 0] == 0.0  # occluded by the front quads
+        assert f[0, 1] == 1.0  # direct line to the light
+
+    def test_draw_directions_matches_shader_hash(self):
+        """rotations/rot.comp parity: stripes constant along the chosen
+        direction."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from vkr_tpu.passes.util_passes import draw_directions
+
+        img = np.asarray(draw_directions(32, 32, jnp.asarray(0.0)))
+        assert img.shape == (32, 32) and (img >= 0).all() and (img < 1).all()
+        # angle 0: c = -x (cos 0 / sin 0 are exact) -> constant along
+        # y; the hash amplifies float eps at other angles, faithfully
+        # to the GLSL
+        assert np.allclose(img, img[0][None, :])
+        assert img[0].std() > 0.1  # hashed stripes, not constant

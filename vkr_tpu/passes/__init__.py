@@ -12,6 +12,7 @@ from vkr_tpu.passes import (  # noqa: F401
     sampling,
     screen_trace,
     shading,
+    shadows,
     simple_ssr,
     ssao,
     ssr,

@@ -141,3 +141,16 @@ def backbuffer_draw(tex, height: int, width: int,
             return sampled[..., :3]
         return chan(0)
     return chan(int(mode) - 1)
+
+
+@register("rotations")
+def draw_directions(height: int, width: int, angle):
+    """DrawDirs debug compute (draw_directions.hpp + the 'rotations'
+    program, shaders/rotations/rot.comp): hashed stripes constant along
+    the direction `angle` — the reference's interactive direction-
+    visualization aid. Returns (H, W) f32 in [0, 1)."""
+    x = jnp.arange(width, dtype=jnp.float32)[None, :]
+    y = jnp.arange(height, dtype=jnp.float32)[:, None]
+    c = -(x * jnp.cos(angle) + y * jnp.sin(angle))
+    s = jnp.sin(c * 12.9898 + c * 78.233) * 43758.5453  # rand2D((c, c))
+    return s - jnp.floor(s)
