@@ -30,7 +30,6 @@ from vkr_tpu.core.formats import (
 )
 from vkr_tpu.mathlib.octahedral import encode_normal
 from vkr_tpu.raster import (
-    TriangleSetup,
     corner_attributes,
     interpolate_many,
     pixel_barycentrics,
@@ -109,12 +108,6 @@ class GBuffer(NamedTuple):
 
 DEFAULT_ALBEDO = (0.5, 0.5, 0.5, 1.0)   # opaque_taa.frag:31
 DEFAULT_MATERIAL = (0.5, 0.9, 0.5, 0.5)  # opaque_taa.frag:43
-
-
-def _concat_setups(a: TriangleSetup, b: TriangleSetup) -> TriangleSetup:
-    return TriangleSetup(
-        *[jnp.concatenate([x, y], axis=0) for x, y in zip(a, b)]
-    )
 
 
 def _resolve_attrs(

@@ -9,7 +9,6 @@ from vkr_tpu.raster.setup import (
 from vkr_tpu.raster.kernel import (
     rasterize_tiles,
     rasterize_reference,
-    build_pair_setup,
 )
 from vkr_tpu.raster.resolve import (
     corner_attributes,

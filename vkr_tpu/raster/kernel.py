@@ -36,7 +36,6 @@ from jax.experimental.pallas import tpu as pltpu
 # fields at [0:16), resolve fields at [16:64)).
 from vkr_tpu.raster.pair_rows import PAIRS_PER_ROW, ROW_WIDTH
 
-SETUP_WIDTH = ROW_WIDTH
 _CHUNK = 32                          # pairs per DMA chunk
 _CHUNK_ROWS = _CHUNK * ROW_WIDTH // 128  # 16 rows of 128 lanes
 _ROW_ALIGN = 8                       # DMA start rounded to 8 rows
@@ -137,14 +136,6 @@ def _raster_kernel(
     zbuf, tid = jax.lax.fori_loop(0, num_chunks, chunk_body, (zbuf0, tid0))
     zbuf_ref[...] = zbuf
     tid_ref[...] = tid.astype(jnp.int32)
-
-
-def build_pair_setup(setup, pair_tri_sorted):
-    """Back-compat shim: build visibility-only 64-wide pair rows (see
-    raster/pair_rows.py for the shared layout)."""
-    from vkr_tpu.raster.pair_rows import build_tri_rows, expand_pair_rows
-
-    return expand_pair_rows(build_tri_rows(setup), pair_tri_sorted)
 
 
 @functools.partial(
