@@ -118,10 +118,6 @@ def render_frame(
     reflections into deferred shading (BASELINE config 5).
     """
     h, w = cfg.height, cfg.width
-    inv_view = _inv4(cam.view)
-    prev_inv_view = _inv4(cam.prev_view)
-    nm = _normal_mat4(cam.view)
-
     gbuf = add_task(
         "GbufferPass",
         lambda: registry.get("gbuf_opaque_taa")(

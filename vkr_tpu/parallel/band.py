@@ -43,6 +43,7 @@ def render_frame_banded(
     cfg,
     mesh: Mesh,
     *,
+    probe_grid=None,
     use_pallas: bool = True,
     interpret: bool = False,
 ):
@@ -92,7 +93,8 @@ def render_frame_banded(
 
         color, new_state, aux = shade_frame(
             gbuf_full, state_in, cam_in, res_in, cfg,
-            use_pallas=use_pallas, interpret=interpret,
+            probe_grid=probe_grid, use_pallas=use_pallas,
+            interpret=interpret,
         )
         color_band = jax.lax.dynamic_slice(color, (row0, 0, 0),
                                            (bh, w, color.shape[-1]))

@@ -112,7 +112,7 @@ DEFAULT_MATERIAL = (0.5, 0.9, 0.5, 0.5)  # opaque_taa.frag:43
 
 def _resolve_attrs(
     vis, indices, tri_mat, uvs, world_n, prev_clip,
-    *, width, height, interpret,
+    *, width, height, interpret, row_offset=None,
 ):
     """Per-pixel interpolated attributes {uv, normal, prev_clip, mat_id}.
 
@@ -130,7 +130,8 @@ def _resolve_attrs(
             "mat_id": out[9].astype(jnp.int32),
         }
 
-    bary, mask = pixel_barycentrics(vis.tri_id, vis.setup, width, height)
+    bary, mask = pixel_barycentrics(vis.tri_id, vis.setup, width, height,
+                                    row_offset=row_offset)
     attrs = interpolate_many(
         {
             "uv": corner_attributes(uvs, indices, vis.weights, vis.src),
@@ -207,7 +208,8 @@ def render_gbuffer(
                use_pallas=use_pallas, interpret=interpret,
                vertex_attrs=vattrs if use_pallas else None,
                full_height=full_height, y_offset=row_offset)
-    akw = dict(width=width, height=height, interpret=interpret)
+    akw = dict(width=width, height=height, interpret=interpret,
+               row_offset=row_offset)
     vis = rasterize(clip, scene.tri_opaque,
                     tri_mat=scene.tri_opaque_mat, **rkw)
     depth = vis.depth

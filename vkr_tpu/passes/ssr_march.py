@@ -465,6 +465,12 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
             [cons.reshape(N_CONS, n_px), state.reshape(N_STATE, n_px)]
         )
         cap = max(1024, int(n_px * compact_frac) // 1024 * 1024)
+        # the sort key packs the ray index into 24 bits under the done
+        # flag (cf. bin_triangles' guarded packed sort)
+        assert n_px < (1 << 24), (
+            f"{n_px} rays exceed the 24-bit compaction key (8K+ full-res"
+            " marches need a wider key)"
+        )
         done_f = cs[N_CONS + _ST.index("done")] > 0.5
         key = done_f.astype(jnp.int32) * (1 << 24) + jnp.arange(
             n_px, dtype=jnp.int32

@@ -97,6 +97,11 @@ def rasterize(
             )
             resolved = attrs[:, :height, :width]
         else:
+            if peel_depth is not None:
+                raise ValueError(
+                    "peel_depth requires the merged raster+resolve "
+                    "kernel (pass vertex_attrs) or use_pallas=False"
+                )
             tri_rows = _rows.build_tri_rows(setup)
             pair_setup = _rows.expand_pair_rows(tri_rows, pair_tri)
             zbuf, tid = _kernel.rasterize_tiles(

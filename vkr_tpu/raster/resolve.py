@@ -26,10 +26,14 @@ def corner_attributes(vertex_attr, indices, weights, src):
     return (weights[..., :, None] * tri_attr[:, None, :, :]).sum(2)
 
 
-def pixel_barycentrics(tid, setup, width: int, height: int):
+def pixel_barycentrics(tid, setup, width: int, height: int,
+                       row_offset=None):
     """Perspective-correct barycentrics for each pixel's winning triangle.
 
     tid: (H, W) int32 visibility buffer (-1 = background).
+    row_offset: band-viewport row origin — the edge planes are in
+    FULL-frame coordinates (band-exact mode), so band pixels must be
+    evaluated at their global rows.
     Returns (bary (H, W, 3) f32, mask (H, W) bool).
     """
     t = jnp.maximum(tid, 0)
@@ -37,6 +41,8 @@ def pixel_barycentrics(tid, setup, width: int, height: int):
 
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    if row_offset is not None:
+        ys = ys + jnp.asarray(row_offset, jnp.float32)
     px = xs[None, :, None]
     py = ys[:, None, None]
 

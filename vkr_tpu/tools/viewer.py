@@ -63,7 +63,10 @@ async function poll() {
       const r = await fetch("/frame.png?since=" + n);
       n = parseInt(r.headers.get("X-Frame") || "0");
       const blob = await r.blob();
-      document.getElementById("view").src = URL.createObjectURL(blob);
+      const img = document.getElementById("view");
+      const old = img.src;
+      img.src = URL.createObjectURL(blob);
+      if (old.startsWith("blob:")) URL.revokeObjectURL(old);
       const s = await (await fetch("/stats")).json();
       document.getElementById("hud").textContent =
         `frame ${s.frame}  ${s.ms.toFixed(1)} ms/frame  ` +
