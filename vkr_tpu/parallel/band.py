@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from vkr_tpu.passes.gbuffer import GBuffer
@@ -105,7 +105,7 @@ def render_frame_banded(
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=(P(axis), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     color, new_state, overflow = fn(scene, state, cam, ssr_res)
     return color, new_state, {"overflow": overflow}

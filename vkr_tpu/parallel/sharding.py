@@ -26,7 +26,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -76,7 +76,7 @@ def render_views_sharded(
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P()),
         out_specs=(P(axis), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(scene, states, cams, ssr_res)
 
