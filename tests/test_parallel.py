@@ -144,3 +144,39 @@ def test_band_sharded_frame_bit_matches_single_device():
     np.testing.assert_array_equal(np.asarray(state_b.prev_depth),
                                   np.asarray(state_1.prev_depth))
     assert int(np.asarray(aux_b["overflow"])) == 0
+
+
+def test_band_oracle_resolve_matches_full_frame():
+    """Band-exact mode with the XLA-fallback resolve (use_pallas=False):
+    the edge/depth planes stay in full-frame coordinates, so the oracle's
+    attribute resolve must evaluate band pixels at their GLOBAL rows
+    (raster/resolve.pixel_barycentrics row_offset). Regression test for a
+    bug where band G-buffers interpolated attributes at band-local rows."""
+    from vkr_tpu.mathlib import look_at
+    from vkr_tpu.mathlib.transforms import perspective
+    from vkr_tpu.passes.gbuffer import render_gbuffer, upload_scene
+    from vkr_tpu.scene import colonnade_scene
+
+    scene = upload_scene(
+        colonnade_scene(columns=2, tessellation=6, tex_size=32)
+    )
+    H, W = 64, 128
+    view = look_at((-6, 2.2, -2), (4, 1.8, 0.5), (0, -1, 0))
+    proj = perspective(75.0, W / H, 0.05, 80.0)
+    vp = jnp.asarray(proj @ view, jnp.float32)
+    jit = jnp.zeros(2, jnp.float32)
+
+    full = render_gbuffer(scene, vp, vp, jit, width=W, height=H,
+                          use_pallas=False)
+    for b in range(2):
+        r0 = b * (H // 2)
+        band = render_gbuffer(
+            scene, vp, vp, jit, width=W, height=H // 2,
+            use_pallas=False, full_height=H, row_offset=r0,
+        )
+        for name in ("albedo", "normal", "depth", "velocity"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(band, name)),
+                np.asarray(getattr(full, name))[r0:r0 + H // 2],
+                err_msg=f"band {b} {name}",
+            )

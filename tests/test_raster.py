@@ -254,3 +254,17 @@ class TestOverflow:
         vis = rasterize(clip, idx, width=256, height=64,
                         use_pallas=True, interpret=True, pair_capacity=8)
         assert int(vis.overflow) == 8
+
+
+def test_peel_requires_merged_kernel():
+    """peel_depth is only honored by the merged raster+resolve kernel or
+    the XLA oracle; the visibility-only Pallas path must refuse it loudly
+    instead of silently rendering the first layer."""
+    clip = ndc_tri_clip(
+        np.array([[-0.5, -0.5, 0.5], [0.5, -0.5, 0.5], [0.0, 0.5, 0.5]])
+    )
+    idx = jnp.arange(3, dtype=jnp.int32)[None]
+    peel = jnp.zeros((32, 64), jnp.float32)
+    with pytest.raises(ValueError, match="peel_depth"):
+        rasterize(clip, idx, width=64, height=32, use_pallas=True,
+                  interpret=True, peel_depth=peel)
