@@ -12,6 +12,8 @@ import time
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
+    parser.add_argument("--scene", default="colonnade",
+                        choices=["colonnade", "sponza"])
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--columns", type=int, default=16)
@@ -41,14 +43,18 @@ def main(argv=None):
     from vkr_tpu.passes.gbuffer import render_gbuffer, upload_scene
     from vkr_tpu.passes.shading import ShadingParams, deferred_shading
     from vkr_tpu.scene import colonnade_scene
+    from vkr_tpu.scene.procedural import sponza_colonnade_scene
 
     W, H = args.width, args.height
     cfg = RenderConfig(width=W, height=H)
-    scene = upload_scene(
-        colonnade_scene(columns=args.columns,
-                        tessellation=args.tessellation,
-                        tex_size=args.tex_size)
-    )
+    if args.scene == "sponza":
+        scene_cpu = sponza_colonnade_scene(columns=24, tessellation=80,
+                                           tex_size=args.tex_size)
+    else:
+        scene_cpu = colonnade_scene(columns=args.columns,
+                                    tessellation=args.tessellation,
+                                    tex_size=args.tex_size)
+    scene = upload_scene(scene_cpu)
     res = build_ssr_resources(args.lut_size)
     view = look_at((-18, 2.2, -2), (4, 1.8, 0.5), (0, -1, 0))
     cam = camera_frame(cfg, view, view, 0)
