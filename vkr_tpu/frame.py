@@ -38,11 +38,25 @@ class SSRResources(NamedTuple):
 
 
 def build_ssr_resources(lut_size: int = 1024) -> SSRResources:
+    """Preintegrated LUTs, disk-cached (each is a pure function of its
+    size; recomputing them on TPU through the compile tunnel was ~30 s of
+    the round-2 bench's startup)."""
+    from vkr_tpu.core.diskcache import cached_npz
+
+    luts = cached_npz(
+        f"ssr-luts-{lut_size}",
+        lambda: {
+            "pdf": np.asarray(jax.jit(
+                registry.get("pdf_preintegrate"), static_argnums=0
+            )(lut_size)),
+            "brdf": np.asarray(jax.jit(
+                registry.get("brdf_preintegrate"), static_argnums=0
+            )(lut_size)),
+        },
+    )
     return SSRResources(
-        pdf_lut=jax.jit(registry.get("pdf_preintegrate"),
-                        static_argnums=0)(lut_size),
-        brdf_lut=jax.jit(registry.get("brdf_preintegrate"),
-                         static_argnums=0)(lut_size),
+        pdf_lut=jnp.asarray(luts["pdf"]),
+        brdf_lut=jnp.asarray(luts["brdf"]),
         halton=jnp.asarray(halton23_table(_ssr.HALTON_SEQ_SIZE)),
     )
 

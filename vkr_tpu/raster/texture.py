@@ -58,7 +58,8 @@ class TextureArray:
     jit argument passing as compile-time constants."""
 
     flat: jnp.ndarray      # (NT * FLAT, 4) u8 — all textures, mips packed
-    flat_quad: jnp.ndarray  # (NT * FLAT, 16) u8 — wrap-aware 2x2 quads
+    # wrap-aware 2x2 quads; None when the pair path covers all sampling
+    flat_quad: Optional[jnp.ndarray]  # (NT * FLAT, 16) u8
     wrap: jnp.ndarray      # (NT,) i32
     offsets: Tuple[int, ...]  # static: texel offset of each mip level
     sizes: Tuple[int, ...]    # static: edge length of each mip level
@@ -92,7 +93,16 @@ class TextureArray:
 def _quad_neighbors_batch(imgs, repeat_mask):
     """Wrap-aware +x/+y/+xy neighbors for a whole (NT, S, S, 4) level at
     once (vectorized: the per-texture python loop cost ~3 min at
-    69 x 1024^2)."""
+    69 x 1024^2). Uniform-wrap sets (e.g. Sponza: all REPEAT) skip the
+    12 full-size np.where blends (~4x less host bandwidth)."""
+    if repeat_mask.all():
+        xr = np.roll(imgs, -1, axis=2)
+        yd = np.roll(imgs, -1, axis=1)
+        return xr, yd, np.roll(xr, -1, axis=1)
+    if not repeat_mask.any():
+        xr = np.concatenate([imgs[:, :, 1:], imgs[:, :, -1:]], axis=2)
+        yd = np.concatenate([imgs[:, 1:], imgs[:, -1:]], axis=1)
+        return xr, yd, np.concatenate([xr[:, 1:], xr[:, -1:]], axis=1)
     xr_rep = np.roll(imgs, -1, axis=2)
     yd_rep = np.roll(imgs, -1, axis=1)
     xr_cl = np.concatenate([imgs[:, :, 1:], imgs[:, :, -1:]], axis=2)
@@ -107,16 +117,10 @@ def _quad_neighbors_batch(imgs, repeat_mask):
     return xr, yd, yxd
 
 
-def pack_texture_array(
-    tex_mips, wrap, mat_albedo_tex=None, mat_mr_tex=None
-) -> TextureArray:
-    """(mip pyramids from scene.build_mip_pyramid) -> flat device layout.
-
-    Packs each texel's wrap-aware 2x2 bilinear footprint into a 16-byte
-    quad row (one gather per bilinear tap), the alpha channel of that
-    footprint into a 4-byte row, and — when the material tables are given
-    and each material's albedo/MR wraps agree — zipped 32-byte
-    albedo+MR pair rows so G-buffer texturing is one gather per pixel."""
+def _pack_texture_arrays_np(tex_mips, wrap_np, mat_albedo_tex, mat_mr_tex):
+    """Pure-numpy packing body of pack_texture_array — returns a dict of
+    arrays so the result can be disk-cached (core/diskcache.py; measured
+    ~60 s of numpy at 69 x 1024^2)."""
     sizes = tuple(int(m.shape[1]) for m in tex_mips)
     offsets = []
     off = 0
@@ -125,7 +129,6 @@ def pack_texture_array(
         off += s * s
     flat_len = off
     nt = tex_mips[0].shape[0]
-    wrap_np = np.asarray(wrap, np.int32)
 
     rep_mask = np.zeros(nt, bool)
     rep_mask[: len(wrap_np)] = wrap_np == WRAP_REPEAT
@@ -139,7 +142,11 @@ def pack_texture_array(
         ).reshape(nt, s * s, 16)
     alpha = quad[..., 3::4].copy()  # (nt, flat, 4) u8 — quad alphas
 
-    pair_quad = mat_pair = pair_wrap = None
+    out = {
+        "flat": flat.reshape(nt * flat_len, 4),
+        "alpha": alpha.reshape(nt * flat_len, 4),
+    }
+    have_pair = False
     if mat_albedo_tex is not None and mat_mr_tex is not None:
         at = np.asarray(mat_albedo_tex, np.int32)
         mt = np.asarray(mat_mr_tex, np.int32)
@@ -168,23 +175,63 @@ def pack_texture_array(
                         pq[pi, :, 16:32] = quad[b]
                     src = a if a >= 0 else b
                     pw[pi] = wrap_np[src] if src < len(wrap_np) else 0
-                pair_quad = jnp.asarray(pq.reshape(np_pairs * flat_len, 32))
-                mat_pair = jnp.asarray(mat_pair_np)
-                pair_wrap = jnp.asarray(pw)
+                out["pair_quad"] = pq.reshape(np_pairs * flat_len, 32)
+                out["mat_pair"] = mat_pair_np
+                out["pair_wrap"] = pw
+                have_pair = True
+    if not have_pair:
+        # G-buffer texturing falls back to per-texture quad gathers; only
+        # then is the full 16-byte quad table needed on device (the pair
+        # path samples exclusively from pair_quad + alpha, so skipping
+        # this upload saves 4x flat-size bytes of HBM and startup).
+        out["flat_quad"] = quad.reshape(nt * flat_len, 16)
+    return out
+
+
+def pack_texture_array(
+    tex_mips, wrap, mat_albedo_tex=None, mat_mr_tex=None
+) -> TextureArray:
+    """(mip pyramids from scene.build_mip_pyramid) -> flat device layout.
+
+    Packs each texel's wrap-aware 2x2 bilinear footprint into a 16-byte
+    quad row (one gather per bilinear tap), the alpha channel of that
+    footprint into a 4-byte row, and — when the material tables are given
+    and each material's albedo/MR wraps agree — zipped 32-byte
+    albedo+MR pair rows so G-buffer texturing is one gather per pixel.
+    Packed products are disk-cached by content hash (diskcache.py)."""
+    from vkr_tpu.core.diskcache import cached_npz, content_key
+
+    sizes = tuple(int(m.shape[1]) for m in tex_mips)
+    offsets = []
+    off = 0
+    for s in sizes:
+        offsets.append(off)
+        off += s * s
+    flat_len = off
+    wrap_np = np.asarray(wrap, np.int32)
+    at = None if mat_albedo_tex is None else np.asarray(mat_albedo_tex,
+                                                        np.int32)
+    mt = None if mat_mr_tex is None else np.asarray(mat_mr_tex, np.int32)
+
+    key = content_key("texpack", sizes, *(np.asarray(m) for m in tex_mips),
+                      wrap_np, at, mt)
+    packed = cached_npz(key, lambda: _pack_texture_arrays_np(
+        tex_mips, wrap_np, at, mt))
 
     uniq = np.unique(wrap_np) if len(wrap_np) else np.asarray([0])
+    opt = lambda k: (jnp.asarray(packed[k]) if k in packed else None)
     return TextureArray(
-        flat=jnp.asarray(flat.reshape(nt * flat_len, 4)),
-        flat_quad=jnp.asarray(quad.reshape(nt * flat_len, 16)),
+        flat=jnp.asarray(packed["flat"]),
+        flat_quad=opt("flat_quad"),
         wrap=jnp.asarray(wrap, jnp.int32),
         offsets=tuple(offsets),
         sizes=sizes,
         flat_len=flat_len,
         uniform_wrap=int(uniq[0]) if len(uniq) == 1 else None,
-        alpha_quad=jnp.asarray(alpha.reshape(nt * flat_len, 4)),
-        pair_quad=pair_quad,
-        mat_pair=mat_pair,
-        pair_wrap=pair_wrap,
+        alpha_quad=jnp.asarray(packed["alpha"]),
+        pair_quad=opt("pair_quad"),
+        mat_pair=opt("mat_pair"),
+        pair_wrap=opt("pair_wrap"),
     )
 
 
