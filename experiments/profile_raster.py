@@ -1,0 +1,89 @@
+"""Sub-profile the raster front end: setup / binning / row expansion /
+kernel, to locate the cost inside 'raster opaque' (~108 ms at 1080p).
+
+    PYTHONPATH=/root/repo:/root/.axon_site python experiments/profile_raster.py
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def main():
+    from vkr_tpu.core.platform import ensure_platform
+
+    print("backend:", ensure_platform())
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vkr_tpu.config import RenderConfig
+    from vkr_tpu.frame import camera_frame
+    from vkr_tpu.mathlib import look_at
+    from vkr_tpu.passes.gbuffer import upload_scene
+    from vkr_tpu.raster import setup as RS
+    from vkr_tpu.raster import pair_rows as RR
+    from vkr_tpu.raster import gbuf_kernel as GK
+    from vkr_tpu.raster.resolve import corner_attributes
+    from vkr_tpu.raster import transform_normals, transform_vertices
+    from vkr_tpu.scene.procedural import sponza_colonnade_scene
+
+    W, H = 1920, 1080
+    cfg = RenderConfig(width=W, height=H)
+    scene = upload_scene(sponza_colonnade_scene(columns=24, tessellation=80,
+                                                tex_size=64))
+    view = look_at((-18, 2.2, -2), (4, 1.8, 0.5), (0, -1, 0))
+    cam = camera_frame(cfg, view, view, 0)
+    reps = 8
+
+    def bench(name, f, *a):
+        out = f(*a)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+        t0 = time.time()
+        for _ in range(reps):
+            out = f(*a)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+        print(f"{name:22s} {(time.time()-t0)/reps*1e3:9.2f} ms", flush=True)
+        return out
+
+    vp, jit_ = cam.mvp, cam.jitter
+    indices, tri_mat = scene.tri_opaque, scene.tri_opaque_mat
+    T = int(indices.shape[0])
+    cap = max(int(T * 3.0), 4096)
+    print(f"tris {T} cap {cap}")
+
+    clip = jax.jit(lambda s: transform_vertices(
+        s.positions, s.vert_transform, s.transforms, vp))(scene)
+    world_n = jax.jit(lambda s: transform_normals(
+        s.normals, s.vert_transform, s.normal_mats))(scene)
+    vattrs = jnp.concatenate(
+        [scene.uvs, world_n, jnp.zeros((clip.shape[0], 4))], axis=-1)
+
+    cw = bench("clip+setup", jax.jit(lambda c, i: (
+        lambda corners, weights, src, valid: (
+            RS.triangle_setup(corners, valid, W, H, jit_), weights, src)
+    )(*RS.clip_near_triangles(c, i))), clip, indices)
+    setup, weights, src = cw
+
+    binned = bench("bin_triangles", jax.jit(
+        lambda s: RS.bin_triangles(s, W, H, 8, 128, cap)), setup)
+    pair_tri, seg_starts, seg_counts, overflow = binned
+    print("overflow", int(overflow),
+          "real pairs", int(np.asarray(seg_counts).sum()))
+
+    cattrs = jax.jit(
+        lambda va, i, w, sr: corner_attributes(va, i, w, sr)
+    )(vattrs, indices, weights, src)
+    tri_rows = bench("build_tri_rows", jax.jit(
+        RR.build_tri_rows), setup, cattrs, tri_mat[src])
+
+    pair_setup = bench("expand_pair_rows", jax.jit(
+        RR.expand_pair_rows), tri_rows, pair_tri)
+
+    bench("gbuf kernel", jax.jit(lambda ps, ss, sc: GK.gbuf_tiles(
+        ps, ss, sc, None, None, width=W, height=H)),
+        pair_setup, seg_starts, seg_counts)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,7 @@ from vkr_tpu.raster.texture import (
     TextureArray,
     pack_texture_array,
     quad_derivative_lod,
-    sample_alpha,
+    sample_alpha_sparse,
     sample_material_pair,
     sample_texture_array,
     small_lookup,
@@ -237,8 +237,9 @@ def render_gbuffer(
                               jnp.maximum(attrs_b["mat_id"], 0))
         alpha_b = jnp.where(
             aidx_b >= 0,
-            sample_alpha(scene.tex, jnp.maximum(aidx_b, 0),
-                         attrs_b["uv"], lod_b),
+            sample_alpha_sparse(scene.tex, jnp.maximum(aidx_b, 0),
+                                attrs_b["uv"], lod_b,
+                                (vis_b.tri_id >= 0) & (aidx_b >= 0)),
             DEFAULT_ALBEDO[3],
         )
         keep_b = (
@@ -265,8 +266,9 @@ def render_gbuffer(
                                    jnp.maximum(attrs_b2["mat_id"], 0))
             alpha_b2 = jnp.where(
                 aidx_b2 >= 0,
-                sample_alpha(scene.tex, jnp.maximum(aidx_b2, 0),
-                             attrs_b2["uv"], lod_b2),
+                sample_alpha_sparse(scene.tex, jnp.maximum(aidx_b2, 0),
+                                    attrs_b2["uv"], lod_b2,
+                                    discarded & (aidx_b2 >= 0)),
                 DEFAULT_ALBEDO[3],
             )
             keep_b2 = (

@@ -339,6 +339,86 @@ def sample_alpha(tex: TextureArray, tex_idx, uv, lod):
     return top + (bot - top) * fy
 
 
+def sample_alpha_sparse(tex: TextureArray, tex_idx, uv, lod, active,
+                        cap_frac: float = 0.25):
+    """sample_alpha restricted to (8,128) tiles containing active pixels.
+
+    The alpha-MASK discard test only matters where a masked fragment
+    exists (vis.tri_id >= 0) — a thin, spatially clustered set (foliage,
+    chains), yet XLA's gather prices the dense test by the FULL pixel
+    count (38.9 ms at 1080p on a nearly-empty masked layer, round-3
+    profile). Tiles are compacted with a single-key sort (tile count is
+    ~2k — trivial), whole (8,128) tiles are row-gathered (4 KB slices
+    run near bandwidth, unlike per-texel rows), and only the compacted
+    tiles pay the per-index alpha gather. If more than cap_frac of the
+    tiles contain active pixels, a lax.cond falls back to the dense
+    test — never a wrong result.
+
+    Returns (H, W) f32 alpha; pixels outside active tiles read 0.
+    """
+    h, w = tex_idx.shape
+    n_levels = len(tex.sizes)
+    if tex.uniform_wrap is not None:
+        wrap_mode = jnp.full(tex_idx.shape, tex.uniform_wrap, jnp.int32)
+    else:
+        wrap_mode = small_lookup(tex.wrap, jnp.maximum(tex_idx, 0))
+    level = jnp.round(jnp.clip(lod, 0.0, n_levels - 1)).astype(jnp.int32)
+    rel, fx, fy = _tap_setup(tex, uv, level, wrap_mode)
+    idx = tex_idx * tex.flat_len + rel  # (H, W) i32
+
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    ty, tx = hp // 8, wp // 128
+    n_tiles = ty * tx
+
+    def tile_rows(a, fill=0.0):
+        a = jnp.pad(a, ((0, hp - h), (0, wp - w)),
+                    constant_values=fill)
+        return a.reshape(ty, 8, tx, 128).transpose(0, 2, 1, 3).reshape(
+            n_tiles, 1024
+        )
+
+    act_t = tile_rows(active.astype(jnp.float32))
+    idx_t = tile_rows(idx)
+    fx_t = tile_rows(fx[..., 0])
+    fy_t = tile_rows(fy[..., 0])
+
+    tile_active = act_t.max(axis=1) > 0.0  # (n_tiles,)
+    n_act = tile_active.sum().astype(jnp.int32)
+    cap = max(1, min(n_tiles, int(-(-n_tiles * cap_frac // 1))))
+    assert n_tiles < (1 << 16)
+
+    key = jnp.where(tile_active, 0, 1 << 16) + jnp.arange(
+        n_tiles, dtype=jnp.int32
+    )
+    tids = jnp.sort(key)[:cap] & 0xFFFF
+
+    def sparse():
+        cidx = jnp.take(idx_t, tids, axis=0)
+        cfx = jnp.take(fx_t, tids, axis=0)
+        cfy = jnp.take(fy_t, tids, axis=0)
+        rows = jnp.take(tex.alpha_quad, cidx.reshape(-1),
+                        axis=0).astype(jnp.float32).reshape(cap, 1024, 4)
+        top = rows[..., 0] + (rows[..., 1] - rows[..., 0]) * cfx
+        bot = rows[..., 2] + (rows[..., 3] - rows[..., 2]) * cfx
+        a = (top + (bot - top) * cfy) / 255.0
+        out_t = jnp.zeros((n_tiles, 1024), jnp.float32).at[tids].set(a)
+        return out_t
+
+    def dense():
+        rows = jnp.take(tex.alpha_quad, idx.reshape(-1),
+                        axis=0).astype(jnp.float32).reshape(h, w, 4)
+        top = rows[..., 0] + (rows[..., 1] - rows[..., 0]) * fx[..., 0]
+        bot = rows[..., 2] + (rows[..., 3] - rows[..., 2]) * fx[..., 0]
+        return tile_rows((top + (bot - top) * fy[..., 0]) / 255.0)
+
+    out_t = jax.lax.cond(n_act <= cap, sparse, dense)
+    out = out_t.reshape(ty, tx, 8, 128).transpose(0, 2, 1, 3).reshape(
+        hp, wp
+    )
+    return out[:h, :w]
+
+
 def sample_material_pair(tex: TextureArray, mat_id, uv, lod):
     """One 32-byte gather per pixel returning BOTH material textures:
     (albedo (H,W,4), metallic-roughness (H,W,4)) raw [0,1] values.
