@@ -7,9 +7,18 @@ gather (~0.1 Gtaps/s measured). This module restructures the IDENTICAL
 math into three phases that avoid XLA gathers entirely on the hot path:
 
   Phase A (iterations 0..15): the find_hor prefix pins every ray to mip 0
-    (trace.comp:191 `i < 15`), so a ray can move at most ~16 texels from
-    its own pixel. A Pallas kernel marches each (8,128) ray tile against
-    a tile-local mip-0 depth window DMA'd into VMEM, statically unrolled.
+    (trace.comp:191 `i < 15`), which makes the trajectory DATA-INDEPENDENT
+    up to stalls: an advancing ray crosses exactly one cell boundary per
+    iteration along a closed-form DDA lattice, and a ray that fails the
+    depth test stalls at its cell permanently (within the prefix). The
+    kernel therefore (1) walks the lattice closed-form, (2) prefetches
+    every candidate depth with static window slices selected by a
+    ring-shell mask chain — ~3 VPU ops per candidate, no one-hot MXU
+    gather, no serial fetch->step dependency — and (3) replays the exact
+    reference step function against the prefetched values. Rays whose
+    origin cell sits more than _A_DELTA L1 texels from their pixel
+    (extreme close-range geometry) fall outside the enumerated shells and
+    are retired invalid — never falsely valid, like the drop policy below.
 
   Phase B1 (iterations 16..32): the whole (padded) ray grid marches in a
     global kernel holding the ENTIRE depth pyramid in VMEM — the mip>=1
@@ -45,8 +54,14 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_T = 3.402823466e38
 
 # phase-A window geometry (per (8,128) ray tile, mip-0 texels)
-_WIN_H = 48    # rows: 24 up / 16 down margins around the 8-row tile
-_WIN_W = 384   # cols: 128 left / 128 right margins (128-aligned DMA)
+_A_WIN_H = 56   # rows: 24 up / 24 down margins around the 8-row tile
+_A_WIN_W = 384  # cols: 128 left / 128 right margins (128-aligned DMA)
+# Prefetch cells sit on the L1 diamond of radius j+1 around the ray's
+# ORIGIN cell, which sits within L1 <= _A_DELTA of its pixel (the
+# 0.001*n view-space nudge of trace.comp:64 projects to <~1 texel except
+# at extreme close range) — so window offsets lie in shells [j-1, j+3].
+_A_DELTA = 2
+_A_RMAX = 18    # |dy| <= 18 keeps row slices inside the 56-row window
 
 # state channel order (phase A out, phase B in/out)
 _ST = ("px", "py", "pz", "t", "mip", "hor", "done", "oob", "iters")
@@ -125,38 +140,28 @@ def _step(c, st, surface_z, i_scalar, *, mip0sample, min_mip,
     done = jnp.maximum(done, newly_oob.astype(jnp.float32))
     oob = jnp.maximum(st["oob"], newly_oob.astype(jnp.float32))
     return dict(px=px, py=py, pz=pz, t=t, mip=mip_out, hor=hor,
-                done=done, oob=oob, iters=iters)
+                done=done, oob=oob, iters=iters), {"advanced": act & skipped}
 
 
 # ------------------------------------------------------------ phase A
 
-def _phase_a_kernel(cons_ref, depth_hbm, out_ref, win, sem, *,
-                    h, w, hp, wp, win_h, win_w, fovy, aspect, znear,
-                    zfar, n_iters):
+def _phase_a_kernel(cons_ref, dpad_hbm, out_ref, win, sem, *,
+                    h, w, fovy, aspect, znear, zfar, n_iters,
+                    interpret=False):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     y0 = ty * 8
     x0 = tx * 128
-    ys = pl.multiple_of(jnp.clip(y0 - 24, 0, hp - win_h), 8)
-    xs = pl.multiple_of(jnp.clip(x0 - 128, 0, wp - win_w), 128)
-
-    # window DMA in 128-col blocks into the flat (win_h*win_w/128, 128)
-    # scratch: flat row = wy * (win_w/128) + (wx // 128)
-    blocks = win_w // 128
-    for b in range(blocks):
-        cp = pltpu.make_async_copy(
-            depth_hbm.at[pl.ds(ys, win_h), pl.ds(xs + 128 * b, 128)],
-            win.at[pl.ds(win_h * b, win_h)],
-            sem,
-        )
-        cp.start()
-        cp.wait()
-    window = win[...]  # (blocks*win_h, 128)
-    # MXU operands truncate to bf16 anyway; split the window once into
-    # bf16 hi + residual so two NATIVE bf16 matmuls reconstruct
-    # f32-grade depth (|err| <= ~4e-6)
-    win_hi = window.astype(jnp.bfloat16)
-    win_lo = (window - win_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # dpad is the mip-0 depth padded by (24, 24) rows / (128, 128) cols
+    # of far-plane, so every tile's window is full-size and un-clamped
+    cp = pltpu.make_async_copy(
+        dpad_hbm.at[pl.ds(pl.multiple_of(y0, 8), _A_WIN_H),
+                    pl.ds(pl.multiple_of(x0, 128), _A_WIN_W)],
+        win, sem,
+    )
+    cp.start()
+    cp.wait()
+    W = win[...]  # (56, 384) f32 — exact depths, no bf16 split needed
 
     c = {k: cons_ref[i] for i, k in enumerate(_CN)}
     c["mx"] = 0.005 / w
@@ -181,38 +186,96 @@ def _phase_a_kernel(cons_ref, depth_hbm, out_ref, win, sem, *,
     st["py"] = c["oy"] + ct * c["dy"]
     st["pz"] = c["oz"] + ct * c["dz"]
 
-    row_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (8, 128, blocks * win_h), 2
-    )
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 2)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
-    for i in range(n_iters):  # static unroll (mip stays 0 for i < 15)
-        # during the prefix mip == 0 for every live ray; i == 15 performs
-        # the first hierarchical step but still fetches at mip 0
-        mpx = w * st["px"]
-        mpy = h * st["py"]
+    # ---- pass 1: closed-form DDA lattice + ring-shell prefetch.  The
+    # always-advance path's t/cell sequence uses the exact f32
+    # expressions of _step's boundary math, so a replayed ray that has
+    # advanced k times sits bit-exactly at lattice position k.
+    slice_cache = {}
+
+    def wslice(dy, dx):
+        if (dy, dx) not in slice_cache:
+            slice_cache[(dy, dx)] = W[24 + dy: 32 + dy,
+                                      128 + dx: 256 + dx]
+        return slice_cache[(dy, dx)]
+
+    fetched = []  # (surface_z, matched) per lattice step
+    lt = st["t"]
+    for j in range(n_iters):
+        lpx = c["ox"] + lt * c["dx"]
+        lpy = c["oy"] + lt * c["dy"]
+        mpx = w * lpx
+        mpy = h * lpy
         xi = jnp.clip(mpx.astype(jnp.int32), 0, w - 1)
         yi = jnp.clip(mpy.astype(jnp.int32), 0, h - 1)
-        ly = jnp.clip(yi - ys, 0, win_h - 1)
-        lx = jnp.clip(xi - xs, 0, win_w - 1)
-        frow = (lx >> 7) * win_h + ly
-        fcol = lx & 127
-        oh = (frow[..., None] == row_iota).astype(jnp.bfloat16)
-        rs = jnp.einsum("slh,hw->slw", oh, win_hi,
-                        preferred_element_type=jnp.float32)
-        rs = rs + jnp.einsum("slh,hw->slw", oh, win_lo,
-                             preferred_element_type=jnp.float32)
-        colh = fcol[..., None] == col_iota
-        surface_z = jnp.where(colh, rs, 0.0).sum(-1)
+        dyj = yi - (y0 + s_iota)
+        dxj = xi - (x0 + l_iota)
+        shell_lo = max(0, j + 1 - _A_DELTA)
+        shell_hi = min(j + 1 + _A_DELTA, _A_RMAX)
+        if interpret:
+            # interpret mode supports real gathers; compiling the select
+            # chain below on XLA:CPU takes tens of minutes. Semantics are
+            # IDENTICAL: the enumerated diamond rings r in
+            # [shell_lo, shell_hi] are exactly the cells with
+            # L1 norm in that range (unmatched z is never consumed).
+            l1 = jnp.abs(dyj) + jnp.abs(dxj)
+            matched = (l1 >= shell_lo) & (l1 <= shell_hi)
+            z = W[jnp.clip(yi - y0 + 24, 0, _A_WIN_H - 1),
+                  jnp.clip(xi - x0 + 128, 0, _A_WIN_W - 1)]
+            z = jnp.where(matched, z, 0.0)
+        else:
+            mrow = {dy: dyj == dy
+                    for dy in range(-shell_hi, shell_hi + 1)}
+            mcol = {dx: dxj == dx
+                    for dx in range(-shell_hi, shell_hi + 1)}
+            z = zero
+            matched = jnp.zeros((8, 128), jnp.bool_)
+            for r in range(shell_lo, shell_hi + 1):
+                combos = ([(0, 0)] if r == 0 else
+                          [(dy, sgn * (r - abs(dy)))
+                           for dy in range(-r, r + 1)
+                           for sgn in ((1, -1) if r - abs(dy) else (1,))])
+                for dy, dx in combos:
+                    m = mrow[dy] & mcol[dx]
+                    z = z + jnp.where(m, wslice(dy, dx), 0.0)
+                    matched = matched | m
+        fetched.append((z, matched))
+        # advance the lattice to the next boundary crossing
+        tx_ = ((jnp.floor(mpx) + c["flo_x"]) / w + c["uvo_x"] - c["ox"]) \
+            * c["inv_x"]
+        ty_ = ((jnp.floor(mpy) + c["flo_y"]) / h + c["uvo_y"] - c["oy"]) \
+            * c["inv_y"]
+        lt = jnp.clip(jnp.minimum(tx_, ty_), -1e20, 1e20)
 
-        st = _step(c, st, surface_z, float(i),
-                   mip0sample=(i < 15), min_mip=0, fovy=fovy,
-                   aspect=aspect, znear=znear, zfar=zfar,
-                   mip_resx=float(w), mip_resy=float(h),
-                   mpx=mpx, mpy=mpy)
+    # ---- pass 2: replay the exact reference step against the prefetch;
+    # k = how many boundary advances this ray has made so far
+    k = jnp.zeros((8, 128), jnp.int32)
+    for i in range(n_iters):
+        z = zero
+        m = jnp.zeros((8, 128), jnp.bool_)
+        for j in range(i + 1):
+            sel = k == j
+            z = jnp.where(sel, fetched[j][0], z)
+            m = m | (sel & fetched[j][1])
+        # rays whose cell fell outside the enumerated shells retire
+        # invalid BEFORE the step (never falsely valid)
+        bad = (st["done"] == 0.0) & ~m
+        badf = bad.astype(jnp.float32)
+        st["done"] = jnp.maximum(st["done"], badf)
+        st["oob"] = jnp.maximum(st["oob"], badf)
+        mpx = w * st["px"]
+        mpy = h * st["py"]
+        st, aux = _step(c, st, z, float(i),
+                        mip0sample=(i < 15), min_mip=0, fovy=fovy,
+                        aspect=aspect, znear=znear, zfar=zfar,
+                        mip_resx=float(w), mip_resy=float(h),
+                        mpx=mpx, mpy=mpy)
+        k = k + aux["advanced"].astype(jnp.int32)
 
-    for i, k in enumerate(_ST):
-        out_ref[i] = st[k].astype(jnp.float32)
+    for i, key in enumerate(_ST):
+        out_ref[i] = st[key].astype(jnp.float32)
 
 
 # ------------------------------------------------------------ phase B
@@ -317,10 +380,11 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
                           lambda: jnp.zeros((8, 128), jnp.float32))
         surface_z = jnp.where(at0, z0, surface_z)
 
-        st = _step(c, st, surface_z, i.astype(jnp.float32),
-                   mip0sample=False, min_mip=0, fovy=fovy, aspect=aspect,
-                   znear=znear, zfar=zfar,
-                   mip_resx=mip_resx, mip_resy=mip_resy, mpx=mpx, mpy=mpy)
+        st, _ = _step(c, st, surface_z, i.astype(jnp.float32),
+                      mip0sample=False, min_mip=0, fovy=fovy,
+                      aspect=aspect, znear=znear, zfar=zfar,
+                      mip_resx=mip_resx, mip_resy=mip_resy,
+                      mpx=mpx, mpy=mpy)
         return i + 1, st
 
     _, st = jax.lax.while_loop(
@@ -349,8 +413,6 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
     h, w = shapes[0]
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
-    win_h = min(_WIN_H, hp)
-    win_w = min(_WIN_W, wp)
 
     # per-ray constants, padded so pad rays retire out-of-bounds at once
     cons = jnp.stack(
@@ -363,7 +425,8 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
     cons = jnp.stack(
         [_pad2(cons[i], hp, wp, pad_vals[i]) for i in range(N_CONS)]
     )
-    depth0 = _pad2(mips[0], hp, wp, 1.0)
+    dpad = jnp.pad(_pad2(mips[0], hp, wp, 1.0),
+                   ((24, 24), (128, 128)), constant_values=1.0)
 
     n_a = min(16, max_iterations)
     grid_a = pltpu.PrefetchScalarGridSpec(
@@ -375,20 +438,19 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
         ],
         out_specs=pl.BlockSpec((N_STATE, 8, 128), lambda i, j: (0, i, j)),
         scratch_shapes=[
-            pltpu.VMEM(((win_w // 128) * win_h, 128), jnp.float32),
+            pltpu.VMEM((_A_WIN_H, _A_WIN_W), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     state = pl.pallas_call(
         functools.partial(
-            _phase_a_kernel, h=h, w=w, hp=hp, wp=wp, win_h=win_h,
-            win_w=win_w, fovy=fovy, aspect=aspect, znear=znear,
-            zfar=zfar, n_iters=n_a,
+            _phase_a_kernel, h=h, w=w, fovy=fovy, aspect=aspect,
+            znear=znear, zfar=zfar, n_iters=n_a, interpret=interpret,
         ),
         grid_spec=grid_a,
         out_shape=jax.ShapeDtypeStruct((N_STATE, hp, wp), jnp.float32),
         interpret=interpret,
-    )(cons, depth0)
+    )(cons, dpad)
 
     # full pyramid as VMEM tables, bf16 hi + residual lo: mips >= 1
     # flat-packed together, mip 0 (full res, padded) separate
