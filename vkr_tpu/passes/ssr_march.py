@@ -146,8 +146,7 @@ def _step(c, st, surface_z, i_scalar, *, mip0sample, min_mip,
 # ------------------------------------------------------------ phase A
 
 def _phase_a_kernel(cons_ref, dpad_hbm, out_ref, win, sem, *,
-                    h, w, fovy, aspect, znear, zfar, n_iters,
-                    interpret=False):
+                    h, w, fovy, aspect, znear, zfar, n_iters):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     y0 = ty * 8
@@ -214,33 +213,21 @@ def _phase_a_kernel(cons_ref, dpad_hbm, out_ref, win, sem, *,
         dxj = xi - (x0 + l_iota)
         shell_lo = max(0, j + 1 - _A_DELTA)
         shell_hi = min(j + 1 + _A_DELTA, _A_RMAX)
-        if interpret:
-            # interpret mode supports real gathers; compiling the select
-            # chain below on XLA:CPU takes tens of minutes. Semantics are
-            # IDENTICAL: the enumerated diamond rings r in
-            # [shell_lo, shell_hi] are exactly the cells with
-            # L1 norm in that range (unmatched z is never consumed).
-            l1 = jnp.abs(dyj) + jnp.abs(dxj)
-            matched = (l1 >= shell_lo) & (l1 <= shell_hi)
-            z = W[jnp.clip(yi - y0 + 24, 0, _A_WIN_H - 1),
-                  jnp.clip(xi - x0 + 128, 0, _A_WIN_W - 1)]
-            z = jnp.where(matched, z, 0.0)
-        else:
-            mrow = {dy: dyj == dy
-                    for dy in range(-shell_hi, shell_hi + 1)}
-            mcol = {dx: dxj == dx
-                    for dx in range(-shell_hi, shell_hi + 1)}
-            z = zero
-            matched = jnp.zeros((8, 128), jnp.bool_)
-            for r in range(shell_lo, shell_hi + 1):
-                combos = ([(0, 0)] if r == 0 else
-                          [(dy, sgn * (r - abs(dy)))
-                           for dy in range(-r, r + 1)
-                           for sgn in ((1, -1) if r - abs(dy) else (1,))])
-                for dy, dx in combos:
-                    m = mrow[dy] & mcol[dx]
-                    z = z + jnp.where(m, wslice(dy, dx), 0.0)
-                    matched = matched | m
+        mrow = {dy: dyj == dy
+                for dy in range(-shell_hi, shell_hi + 1)}
+        mcol = {dx: dxj == dx
+                for dx in range(-shell_hi, shell_hi + 1)}
+        z = zero
+        matched = jnp.zeros((8, 128), jnp.bool_)
+        for r in range(shell_lo, shell_hi + 1):
+            combos = ([(0, 0)] if r == 0 else
+                      [(dy, sgn * (r - abs(dy)))
+                       for dy in range(-r, r + 1)
+                       for sgn in ((1, -1) if r - abs(dy) else (1,))])
+            for dy, dx in combos:
+                m = mrow[dy] & mcol[dx]
+                z = z + jnp.where(m, wslice(dy, dx), 0.0)
+                matched = matched | m
         fetched.append((z, matched))
         # advance the lattice to the next boundary crossing
         tx_ = ((jnp.floor(mpx) + c["flo_x"]) / w + c["uvo_x"] - c["ox"]) \
@@ -278,6 +265,82 @@ def _phase_a_kernel(cons_ref, dpad_hbm, out_ref, win, sem, *,
         out_ref[i] = st[key].astype(jnp.float32)
 
 
+def _phase_a_xla(cons, mip0, *, h, w, hp, wp, fovy, aspect, znear, zfar,
+                 n_iters):
+    """Pure-XLA replica of _phase_a_kernel (bit-identical semantics,
+    including the ring-shell drop policy). Used for interpret=True:
+    Pallas interpret mode of the unrolled select chain takes tens of
+    minutes to compile on XLA:CPU, and the window reads are exact f32
+    either way — the enumerated diamond rings r in [shell_lo, shell_hi]
+    are exactly the cells with L1 norm in that range."""
+    c = {k: cons[i] for i, k in enumerate(_CN)}
+    c["mx"] = 0.005 / w
+    c["my"] = 0.005 / h
+    c.update(_derive(c))
+
+    zero = jnp.zeros((hp, wp), jnp.float32)
+    st = dict(px=c["ox"], py=c["oy"], pz=c["oz"], t=zero,
+              mip=jnp.zeros((hp, wp), jnp.int32), hor=zero, done=zero,
+              oob=zero, iters=zero)
+    cpx = w * c["ox"]
+    cpy = h * c["oy"]
+    t0x = ((jnp.floor(cpx) + c["flo_x"]) / w + c["uvo_x"] - c["ox"]) \
+        * c["inv_x"]
+    t0y = ((jnp.floor(cpy) + c["flo_y"]) / h + c["uvo_y"] - c["oy"]) \
+        * c["inv_y"]
+    ct = jnp.minimum(t0x, t0y)
+    st["t"] = ct
+    st["px"] = c["ox"] + ct * c["dx"]
+    st["py"] = c["oy"] + ct * c["dy"]
+    st["pz"] = c["oz"] + ct * c["dz"]
+
+    gy = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+
+    fetched = []
+    lt = st["t"]
+    for j in range(n_iters):
+        lpx = c["ox"] + lt * c["dx"]
+        lpy = c["oy"] + lt * c["dy"]
+        mpx = w * lpx
+        mpy = h * lpy
+        xi = jnp.clip(mpx.astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(mpy.astype(jnp.int32), 0, h - 1)
+        l1 = jnp.abs(yi - gy) + jnp.abs(xi - gx)
+        shell_lo = max(0, j + 1 - _A_DELTA)
+        shell_hi = min(j + 1 + _A_DELTA, _A_RMAX)
+        matched = (l1 >= shell_lo) & (l1 <= shell_hi)
+        z = jnp.where(matched, mip0[yi, xi], 0.0)
+        fetched.append((z, matched))
+        tx_ = ((jnp.floor(mpx) + c["flo_x"]) / w + c["uvo_x"] - c["ox"]) \
+            * c["inv_x"]
+        ty_ = ((jnp.floor(mpy) + c["flo_y"]) / h + c["uvo_y"] - c["oy"]) \
+            * c["inv_y"]
+        lt = jnp.clip(jnp.minimum(tx_, ty_), -1e20, 1e20)
+
+    k = jnp.zeros((hp, wp), jnp.int32)
+    for i in range(n_iters):
+        z = zero
+        m = jnp.zeros((hp, wp), jnp.bool_)
+        for j in range(i + 1):
+            sel = k == j
+            z = jnp.where(sel, fetched[j][0], z)
+            m = m | (sel & fetched[j][1])
+        bad = (st["done"] == 0.0) & ~m
+        badf = bad.astype(jnp.float32)
+        st["done"] = jnp.maximum(st["done"], badf)
+        st["oob"] = jnp.maximum(st["oob"], badf)
+        mpx = w * st["px"]
+        mpy = h * st["py"]
+        st, aux = _step(c, st, z, float(i),
+                        mip0sample=(i < 15), min_mip=0, fovy=fovy,
+                        aspect=aspect, znear=znear, zfar=zfar,
+                        mip_resx=float(w), mip_resy=float(h),
+                        mpx=mpx, mpy=mpy)
+        k = k + aux["advanced"].astype(jnp.int32)
+    return jnp.stack([st[key].astype(jnp.float32) for key in _ST])
+
+
 # ------------------------------------------------------------ phase B
 
 _M0_CHUNK = 1024  # mip-0 table rows per one-hot chunk
@@ -288,12 +351,16 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
                     znear, zfar, start_iter, end_iter):
     """Global hierarchical march, iterations [start_iter, end_iter).
 
-    Fetches at mips >= 1 hit the whole-pyramid table (hi/lo). Fetches at
-    mip 0 hit the full-resolution mip-0 table (hi0/lo0) via a CHUNKED
-    one-hot (its row count exceeds what a single one-hot intermediate can
-    hold in VMEM); a tile skips that work entirely on iterations where
-    none of its rays are at mip 0 (lax.cond). The march is therefore
-    exact at every level — no hit-candidate approximation."""
+    Fetch cost is split by mip class: rays CRUISE at coarse mips, so the
+    mips>=2 subtable (~1/4 of the pyramid rows after per-mip 128-texel
+    alignment) is one-hot-gathered every iteration, while the mip-1
+    subtable (~3/4 of the rows) is cond-skipped on iterations where no
+    ray in the tile sits at mip 1. Fetches at mip 0 hit the
+    full-resolution mip-0 table (hi0/lo0) via a CHUNKED one-hot (its row
+    count exceeds what a single one-hot intermediate can hold in VMEM);
+    a tile skips that work entirely on iterations where none of its rays
+    are at mip 0 (lax.cond). The march is therefore exact at every
+    level — no hit-candidate approximation."""
     c = {k: cs_ref[i] for i, k in enumerate(_CN)}
     c["mx"] = 0.005 / w
     c["my"] = 0.005 / h
@@ -304,11 +371,18 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
     n_levels = len(offsets)
     R = hi_ref.shape[0]
     R0 = hi0_ref.shape[0]
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, R), 2)
+    # mip-1 rows [0, row2) / coarse rows [row2, R) — offsets are 128-
+    # texel aligned per mip so the split is row-exact
+    row2 = offsets[1] >> 7 if n_levels >= 2 else R
+    if row2 < R:
+        rc_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (8, 128, R - row2), 2)
+        hi_c = hi_ref[row2:, :]
+        lo_c = lo_ref[row2:, :]
+    if row2 > 0:
+        r1_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, row2), 2)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 2)
     ck_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, _M0_CHUNK), 2)
-    hi = hi_ref[...]
-    lo = lo_ref[...]
 
     def cond(carry):
         i, st = carry
@@ -316,7 +390,9 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
 
     def body(carry):
         i, st = carry
-        at0 = (st["mip"] == 0) & (st["done"] == 0.0)
+        act = st["done"] == 0.0
+        at0 = (st["mip"] == 0) & act
+        at1 = (st["mip"] == 1) & act
         mipf = st["mip"].astype(jnp.float32)
         mip_resx = w * jnp.exp2(-mipf)
         mip_resy = h * jnp.exp2(-mipf)
@@ -337,11 +413,32 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
         xi = jnp.clip(xi, 0, wl - 1)
         yi = jnp.clip(yi, 0, hl - 1)
         flat = off + yi * wl + xi
-        oh = ((flat >> 7)[..., None] == row_iota).astype(jnp.bfloat16)
-        rs = jnp.einsum("slh,hw->slw", oh, hi,
-                        preferred_element_type=jnp.float32)
-        rs = rs + jnp.einsum("slh,hw->slw", oh, lo,
-                             preferred_element_type=jnp.float32)
+        frow = flat >> 7
+        if row2 < R:
+            # coarse class (mips >= 2): always fetched
+            ohc = ((frow - row2)[..., None] == rc_iota).astype(jnp.bfloat16)
+            rs = jnp.einsum("slh,hw->slw", ohc, hi_c,
+                            preferred_element_type=jnp.float32)
+            rs = rs + jnp.einsum("slh,hw->slw", ohc, lo_c,
+                                 preferred_element_type=jnp.float32)
+        else:
+            rs = jnp.zeros((8, 128, 128), jnp.float32)
+
+        # mip-1 class: skipped on iterations where the tile has no
+        # mip-1 ray (post-prefix rays cruise at mips >= 2 and only dip
+        # through 1 while refining a hit candidate)
+        def fetch1():
+            oh1 = (jnp.where(at1, frow, -1)[..., None]
+                   == r1_iota).astype(jnp.bfloat16)
+            part = jnp.einsum("slh,hw->slw", oh1, hi_ref[:row2, :],
+                              preferred_element_type=jnp.float32)
+            return part + jnp.einsum("slh,hw->slw", oh1, lo_ref[:row2, :],
+                                     preferred_element_type=jnp.float32)
+
+        if row2 > 0:
+            rs = rs + jax.lax.cond(
+                jnp.any(at1), fetch1,
+                lambda: jnp.zeros((8, 128, 128), jnp.float32))
         colh = (flat & 127)[..., None] == col_iota
         surface_z = jnp.where(colh, rs, 0.0).sum(-1)
 
@@ -394,6 +491,71 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
         out_ref[i] = st[k].astype(jnp.float32)
 
 
+def _phase_b_xla(cs, hi, lo, hi0, lo0, *, h, w, offsets, widths, heights,
+                 fovy, aspect, znear, zfar, start_iter, end_iter):
+    """Pure-XLA replica of _phase_b_kernel for interpret=True — same
+    fetch semantics INCLUDING the bf16 hi+lo table quantization (the
+    one-hot MXU einsum reconstructs exactly hi[r]+lo[r] in f32), so CPU
+    tests see the compiled path's numerics. cs: (N_CONS+N_STATE, n)."""
+    c = {k: cs[i] for i, k in enumerate(_CN)}
+    c["mx"] = 0.005 / w
+    c["my"] = 0.005 / h
+    c.update(_derive(c))
+    st0 = {k: cs[N_CONS + i] for i, k in enumerate(_ST)}
+    st0["mip"] = st0["mip"].astype(jnp.int32)
+    n_levels = len(offsets)
+    hi_f = hi.reshape(-1)
+    lo_f = lo.reshape(-1)
+    hi0_f = hi0.reshape(-1)
+    lo0_f = lo0.reshape(-1)
+
+    def cond(carry):
+        i, st = carry
+        return (i < end_iter) & jnp.any(st["done"] == 0.0)
+
+    def body(carry):
+        i, st = carry
+        at0 = (st["mip"] == 0) & (st["done"] == 0.0)
+        mipf = st["mip"].astype(jnp.float32)
+        mip_resx = w * jnp.exp2(-mipf)
+        mip_resy = h * jnp.exp2(-mipf)
+        mip = jnp.clip(st["mip"], 1, n_levels)
+        mpx = mip_resx * st["px"]
+        mpy = mip_resy * st["py"]
+        xi = mpx.astype(jnp.int32)
+        yi = mpy.astype(jnp.int32)
+        off = jnp.full_like(xi, offsets[0])
+        wl = jnp.full_like(xi, widths[0])
+        hl = jnp.full_like(xi, heights[0])
+        for lvl in range(2, n_levels + 1):
+            sel = mip == lvl
+            off = jnp.where(sel, offsets[lvl - 1], off)
+            wl = jnp.where(sel, widths[lvl - 1], wl)
+            hl = jnp.where(sel, heights[lvl - 1], hl)
+        xi = jnp.clip(xi, 0, wl - 1)
+        yi = jnp.clip(yi, 0, hl - 1)
+        flat = off + yi * wl + xi
+        surface_z = hi_f[flat].astype(jnp.float32) \
+            + lo_f[flat].astype(jnp.float32)
+        xi0 = jnp.clip((w * st["px"]).astype(jnp.int32), 0, w - 1)
+        yi0 = jnp.clip((h * st["py"]).astype(jnp.int32), 0, h - 1)
+        flat0 = yi0 * w + xi0
+        z0 = hi0_f[flat0].astype(jnp.float32) \
+            + lo0_f[flat0].astype(jnp.float32)
+        surface_z = jnp.where(at0, z0, surface_z)
+        st, _ = _step(c, st, surface_z, i.astype(jnp.float32),
+                      mip0sample=False, min_mip=0, fovy=fovy,
+                      aspect=aspect, znear=znear, zfar=zfar,
+                      mip_resx=mip_resx, mip_resy=mip_resy,
+                      mpx=mpx, mpy=mpy)
+        return i + 1, st
+
+    _, st = jax.lax.while_loop(
+        cond, body, (jnp.asarray(start_iter, jnp.int32), st0)
+    )
+    return jnp.stack([st[k].astype(jnp.float32) for k in _ST])
+
+
 # -------------------------------------------------------------- driver
 
 def _pad2(a, hp, wp, value):
@@ -442,15 +604,22 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    state = pl.pallas_call(
-        functools.partial(
-            _phase_a_kernel, h=h, w=w, fovy=fovy, aspect=aspect,
-            znear=znear, zfar=zfar, n_iters=n_a, interpret=interpret,
-        ),
-        grid_spec=grid_a,
-        out_shape=jax.ShapeDtypeStruct((N_STATE, hp, wp), jnp.float32),
-        interpret=interpret,
-    )(cons, dpad)
+    if interpret:
+        state = _phase_a_xla(
+            cons, _pad2(mips[0], hp, wp, 1.0), h=h, w=w, hp=hp, wp=wp,
+            fovy=fovy, aspect=aspect, znear=znear, zfar=zfar,
+            n_iters=n_a,
+        )
+    else:
+        state = pl.pallas_call(
+            functools.partial(
+                _phase_a_kernel, h=h, w=w, fovy=fovy, aspect=aspect,
+                znear=znear, zfar=zfar, n_iters=n_a,
+            ),
+            grid_spec=grid_a,
+            out_shape=jax.ShapeDtypeStruct((N_STATE, hp, wp), jnp.float32),
+            interpret=interpret,
+        )(cons, dpad)
 
     # full pyramid as VMEM tables, bf16 hi + residual lo: mips >= 1
     # flat-packed together, mip 0 (full res, padded) separate
@@ -458,8 +627,25 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
         t_hi = t.astype(jnp.bfloat16)
         return t_hi, (t - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    flat1 = jnp.concatenate([m.reshape(-1) for m in mips[1:]])
-    rpad = (-flat1.shape[0]) % 128
+    # each mip 128-texel aligned (mip-1 end 1024-aligned: the kernel
+    # splits the table at that row with an 8-row-block ref slice)
+    segs = []
+    off = 0
+    offsets, widths, heights = [], [], []
+    for li, m in enumerate(mips[1:]):
+        mh, mw = m.shape
+        offsets.append(off)
+        widths.append(mw)
+        heights.append(mh)
+        seg = m.reshape(-1)
+        align = 1024 if li == 0 else 128
+        pad = (-seg.shape[0]) % align
+        if pad:
+            seg = jnp.pad(seg, (0, pad), constant_values=1.0)
+        segs.append(seg)
+        off += seg.shape[0]
+    flat1 = jnp.concatenate(segs)
+    rpad = (-flat1.shape[0]) % 1024
     flat1 = jnp.pad(flat1, (0, rpad), constant_values=1.0)
     tbl_hi, tbl_lo = hilo(flat1.reshape(-1, 128))
     flat0 = mips[0].reshape(-1)
@@ -469,15 +655,17 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
     flat0 = jnp.pad(flat0, (0, rpad0), constant_values=1.0)
     tbl0_hi, tbl0_lo = hilo(flat0.reshape(-1, 128))
 
-    offsets, widths, heights = [], [], []
-    off = 0
-    for (mh, mw) in shapes[1:]:
-        offsets.append(off)
-        widths.append(mw)
-        heights.append(mh)
-        off += mh * mw
 
     def run_phase_b(cs_blocks, n_rays, start_iter, end_iter):
+        if interpret:
+            return _phase_b_xla(
+                cs_blocks.reshape(N_CONS + N_STATE, n_rays),
+                tbl_hi, tbl_lo, tbl0_hi, tbl0_lo, h=h, w=w,
+                offsets=tuple(offsets), widths=tuple(widths),
+                heights=tuple(heights), fovy=fovy, aspect=aspect,
+                znear=znear, zfar=zfar, start_iter=start_iter,
+                end_iter=end_iter,
+            ).reshape(N_STATE, n_rays // 128, 128)
         grid_b = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(n_rays // 1024,),
@@ -521,19 +709,35 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
         ).reshape(N_STATE, n_px)
         state = st1.reshape(N_STATE, hp, wp)
 
-    if max_iterations > b1_end:
-        # ---- compact survivors (actives first), phase B2, scatter
+    # ---- compacted segments: survivors (actives first) are packed with
+    # a single-key sort + one row gather, marched, and scattered back.
+    # Aliveness decays geometrically, so a SECOND compaction 16
+    # iterations in shrinks the tile count again (measured on the bench
+    # scene: 49% alive at 32, 15% at 48).
+    assert n_px < (1 << 24), (
+        f"{n_px} rays exceed the 24-bit compaction key (8K+ full-res"
+        " marches need a wider key)"
+    )
+    seg_starts = [b1_end, min(b1_end + 16, max_iterations)]
+    # compact_frac >= 1 means "never drop" (tests) — keep segment 2 at
+    # full capacity too
+    seg_fracs = [compact_frac,
+                 compact_frac if compact_frac >= 1.0
+                 else compact_frac * 0.4]
+    di = _ST.index("done")
+    oi = _ST.index("oob")
+    for si, seg_start in enumerate(seg_starts):
+        seg_end = (seg_starts[si + 1] if si + 1 < len(seg_starts)
+                   else max_iterations)
+        if seg_end <= seg_start:
+            continue
         cs = jnp.concatenate(
             [cons.reshape(N_CONS, n_px), state.reshape(N_STATE, n_px)]
         )
-        cap = max(1024, int(n_px * compact_frac) // 1024 * 1024)
+        cap = max(1024, int(n_px * seg_fracs[si]) // 1024 * 1024)
         # the sort key packs the ray index into 24 bits under the done
         # flag (cf. bin_triangles' guarded packed sort)
-        assert n_px < (1 << 24), (
-            f"{n_px} rays exceed the 24-bit compaction key (8K+ full-res"
-            " marches need a wider key)"
-        )
-        done_f = cs[N_CONS + _ST.index("done")] > 0.5
+        done_f = cs[N_CONS + di] > 0.5
         key = done_f.astype(jnp.int32) * (1 << 24) + jnp.arange(
             n_px, dtype=jnp.int32
         )
@@ -542,7 +746,7 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
 
         st_b = run_phase_b(
             comp.reshape(N_CONS + N_STATE, cap // 128, 128), cap,
-            b1_end, max_iterations,
+            seg_start, seg_end,
         ).reshape(N_STATE, cap)
 
         # Scatter the compacted results back. Actives beyond capacity
@@ -551,10 +755,8 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
         selected = jnp.zeros((n_px,), bool).at[idx].set(True)
         dropped = ~done_f & ~selected
         state_f = state.reshape(N_STATE, n_px).at[:, idx].set(st_b)
-        di = _ST.index("done")
-        oi = _ST.index("oob")
         state_f = state_f.at[di].set(
-            jnp.where(dropped, 0.0, state_f[di])
+            jnp.where(dropped, 1.0, state_f[di])
         )
         state_f = state_f.at[oi].set(
             jnp.where(dropped, 1.0, state_f[oi])
@@ -577,7 +779,7 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
 
 def hierarchical_march_pallas(mips, origin, direction, camera_start, w0,
                               params, max_iterations,
-                              compact_frac: float = 0.375,
+                              compact_frac: float = 0.5,
                               interpret: bool = False):
     """Drop-in Pallas replacement for ssr._hierarchical_march
     (find_hor=True). mips: list of (h_l, w_l) depth arrays (the hi-Z
