@@ -156,11 +156,29 @@ def shade_frame(
     probe_grid=None,
     use_pallas: bool = True,
     interpret: bool = False,
+    band=None,
+    gather_fn=None,
 ):
     """The image-space chain after the G-buffer (hi-Z -> SSR -> GTAO ->
     shading -> TAA -> history). Split out so the band-parallel frame
-    (parallel/band.py) can feed it a gathered full-frame G-buffer."""
+    (parallel/band.py) can feed it a gathered full-frame G-buffer.
+
+    band=(row0, band_h) (multi-chip band mode): every EXPENSIVE pass
+    computes only its band of rows (full-res rows [row0, row0+band_h),
+    half-res [row0//2, ...)); inter-pass arrays are re-replicated by
+    gather_fn (an ICI all_gather under shard_map) so each pass sees
+    full-frame inputs — windowed passes need no halo logic and the
+    result is identical to the single-device frame. row0 may be traced
+    (row0 and band_h must be even: half-res chain + velocity quads)."""
     h, w = cfg.height, cfg.width
+    banded = band is not None
+    if banded:
+        row0, band_h = band
+        r0h, bhh = row0 // 2, band_h // 2
+        g = gather_fn
+    else:
+        row0 = band_h = r0h = bhh = None
+        g = lambda x: x
     inv_view = _inv4(cam.view)
     prev_inv_view = _inv4(cam.prev_view)
     nm = _normal_mat4(cam.view)
@@ -185,15 +203,14 @@ def shade_frame(
                 pyr, hiz.normal_half, gbuf.material, ssr_res.pdf_lut, sp,
                 state.frame_index, ssr_res.halton,
                 max_iterations=cfg.ssr.max_iterations,
-                # The Pallas march in interpret mode both loses the
-                # bf16 hi/lo residual precision and inflates XLA:CPU
-                # compiles to many minutes; CPU runs use the XLA
-                # oracle march (the kernel has its own interpret-mode
-                # tests at small sizes).
+                # interpret=True runs the march's pure-XLA replicas
+                # (bit-faithful to the compiled tables) on CPU.
                 use_kernel=use_pallas and not interpret,
                 interpret=interpret,
+                row0=r0h, band_h=bhh,
             ),
         )
+        rays = g(rays)
         reflections = add_task(
             "SSSR_filter",
             lambda: registry.get("sssr_filter")(
@@ -201,8 +218,10 @@ def shade_frame(
                 gbuf.material, sp,
                 flags_normalize=cfg.ssr.normalize_filter,
                 flags_bilateral=cfg.ssr.bilateral_filter,
+                row0=r0h, band_h=bhh,
             ),
         )
+        reflections = g(reflections)
         blur_params = _ssr.SSRBlurParams(
             inverse_camera=inv_view, prev_inverse_camera=prev_inv_view,
             fovy=cfg.camera.fovy, aspect=cfg.aspect,
@@ -217,10 +236,12 @@ def shade_frame(
                 state.ssr_history, hiz.velocity_half,
                 state.prev_depth_half, blur_params,
                 use_kernel_gather=use_pallas, interpret=interpret,
+                row0=r0h, band_h=bhh,
             ),
         )
     else:
-        ssr_blurred = jnp.zeros((h // 2, w // 2, 3), jnp.float32)
+        ssr_blurred = jnp.zeros(
+            (bhh if banded else h // 2, w // 2, 3), jnp.float32)
 
     # ---- Probe GI -> indirect reflections (BASELINE config 5) ----
     # The reference's ProbeTracePass writes the same RGBA8 reflections
@@ -233,7 +254,7 @@ def shade_frame(
             lambda: registry.get("trace_probe")(
                 depth_half, hiz.normal_half, probe_grid, inv_view,
                 cfg.camera.fovy, cfg.aspect, cfg.camera.znear,
-                cfg.camera.zfar,
+                cfg.camera.zfar, row0=r0h, band_h=bhh,
             ),
         )
         probe_rgb = probe_refl[..., :3] * probe_refl[..., 3:4]
@@ -242,6 +263,7 @@ def shade_frame(
             ssr_blurred = jnp.where(empty, probe_rgb, ssr_blurred)
         else:
             ssr_blurred = probe_rgb
+    ssr_blurred = g(ssr_blurred)
 
     # ---- GTAO (main -> filter -> accumulate) ----
     if cfg.enable_gtao:
@@ -254,30 +276,32 @@ def shade_frame(
         gtao_fn = registry.get(
             "gtao_main" if use_pallas else "gtao_compute_main"
         )
-        raw_ao = add_task(
+        raw_ao = g(add_task(
             "GTAO_main",
             lambda: gtao_fn(depth_half, hiz.normal_half, gp, base_angle,
-                            dirs),
-        )
-        filtered_ao = add_task(
+                            dirs, row0=r0h, band_h=bhh),
+        ))
+        filtered_ao = g(add_task(
             "GTAO_filter",
             lambda: registry.get("gtao_filter")(depth_half, raw_ao,
-                                      cfg.camera.znear, cfg.camera.zfar),
-        )
+                                      cfg.camera.znear, cfg.camera.zfar,
+                                      row0=r0h, band_h=bhh),
+        ))
         ap = _gtao.GTAOAccumParams(
             inverse_camera=inv_view, prev_inverse_camera=prev_inv_view,
             mvp=cam.mvp, fovy=cfg.camera.fovy, aspect=cfg.aspect,
             znear=cfg.camera.znear, zfar=cfg.camera.zfar,
         )
-        gtao_accum = add_task(
+        gtao_accum = g(add_task(
             "GTAO_accumulate",
             lambda: registry.get("gtao_accumulate")(
                 depth_half, state.prev_depth_half, filtered_ao,
                 hiz.velocity_half, state.gtao_accum, ap,
                 state.frame_index == 0,
                 use_kernel_gather=use_pallas, interpret=interpret,
+                row0=r0h, band_h=bhh,
             ),
-        )
+        ))
         occlusion = gtao_accum[..., 0]
     else:
         gtao_accum = state.gtao_accum
@@ -289,7 +313,7 @@ def shade_frame(
         znear=cfg.camera.znear, zfar=cfg.camera.zfar,
         show_ao=cfg.show_ao_only,
     )
-    color = add_task(
+    color = g(add_task(
         "DeferedShading",
         lambda: registry.get("defered_shading")(
             gbuf, shade_params,
@@ -297,8 +321,9 @@ def shade_frame(
             reflections=ssr_blurred,
             brdf_lut=ssr_res.brdf_lut,
             depth_half=depth_half,
+            row0=row0, band_h=band_h,
         ),
-    )
+    ))
 
     # ---- TAA ----
     if cfg.enable_taa:
@@ -307,14 +332,15 @@ def shade_frame(
             fovy=cfg.camera.fovy, aspect=cfg.aspect,
             znear=cfg.camera.znear, zfar=cfg.camera.zfar,
         )
-        final = add_task(
+        final = g(add_task(
             "TAA",
             lambda: registry.get("taa_resolve")(
                 state.taa_history, state.prev_depth, gbuf.depth,
                 gbuf.velocity, color, tp,
                 use_kernel_gather=use_pallas, interpret=interpret,
+                row0=row0, band_h=band_h,
             ),
-        )
+        ))
     else:
         final = color
 

@@ -8,18 +8,21 @@ edge/depth coefficients in full-frame float coordinates, so the gathered
 G-buffer is BITWISE IDENTICAL to a single-device render).
 
 The bands are then all_gathered over ICI (a few MB of G-buffer planes)
-and the image-space chain (hi-Z, SSR, GTAO, shading, TAA) runs on the
-full-frame G-buffer replicated per device — deterministically identical
-everywhere, so the whole banded frame bit-matches the single-device
-frame when run eagerly (tests/test_parallel.py asserts bitwise
-equality); under jit, XLA may fuse the image-chain reductions of the two
-DIFFERENT programs differently — 1-ULP deltas that can cascade through
-the branchy SSR/GTAO marches (measured max ~1e-5, well below the 1/255
-quantization step).
-Sharding the image-space passes too (banded compute over gathered
-inputs, each pass taking a row-origin) is the staged next step
-(ROADMAP.md round-3 plan); this version scales the rasterization and
-texturing workload only.
+and the image-space chain (SSR trace/filter/blur, probe GI, GTAO
+main/filter/accumulate, shading, TAA) runs BANDED too: every expensive
+pass computes only its device's rows (frame.shade_frame band mode —
+each pass takes a row origin; global-access inputs like the hi-Z
+pyramid and reprojection histories stay replicated), and each pass
+output is re-replicated with a tiled ICI all_gather (a few MB each,
+orders of magnitude cheaper than the pass compute it shards). hi-Z
+itself stays replicated: it is cheap and every consumer (the march)
+reads it globally — sharding it would just all_gather it right back.
+
+The result is deterministically identical everywhere, so the banded
+frame matches the single-device frame (tests/test_parallel.py); under
+jit, XLA may fuse reductions of the two DIFFERENT programs differently
+— 1-ULP deltas that can cascade through the branchy SSR/GTAO marches
+(measured max ~1e-5, well below the 1/255 quantization step).
 
 Usage mirrors render_views_sharded (sharding.py); see
 __graft_entry__.dryrun_multichip and tests/test_parallel.py.
@@ -94,7 +97,7 @@ def render_frame_banded(
         color, new_state, aux = shade_frame(
             gbuf_full, state_in, cam_in, res_in, cfg,
             probe_grid=probe_grid, use_pallas=use_pallas,
-            interpret=interpret,
+            interpret=interpret, band=(row0, bh), gather_fn=gather,
         )
         color_band = jax.lax.dynamic_slice(color, (row0, 0, 0),
                                            (bh, w, color.shape[-1]))

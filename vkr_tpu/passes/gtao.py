@@ -59,10 +59,11 @@ def frame_base_angle(frame_index):
     return offset + rnd
 
 
-def gtao_direction_pattern(height: int, width: int):
-    """main.comp:292-294: (1/16) * ((((x+y)&3)<<2) + (x&3)), per pixel."""
+def gtao_direction_pattern(height: int, width: int, row0=0):
+    """main.comp:292-294: (1/16) * ((((x+y)&3)<<2) + (x&3)), per pixel.
+    row0 (band mode): y indices are global rows row0 + i."""
     x = jnp.arange(width, dtype=jnp.int32)[None, :]
-    y = jnp.arange(height, dtype=jnp.int32)[:, None]
+    y = (row0 + jnp.arange(height, dtype=jnp.int32))[:, None]
     cls = ((((x + y) & 3) << 2) + (x & 3))
     return cls  # int class in [0, 16); pattern value = cls / 16
 
@@ -107,17 +108,29 @@ def _arc_integral(h_cos, n_proj_len, n_angle):
     )
 
 
-def _common(depth_half, normal_half, params):
-    h, w = depth_half.shape
-    uv = screen_uv_grid(h, w)
+def _common(depth_half, normal_half, params, row0=None,
+            band_h=None):
+    """Shared per-pixel terms. row0/band_h (band mode): compute only
+    rows [row0, row0 + band_h); returns the CENTER depth slice too."""
+    H, W = depth_half.shape
+    banded = row0 is not None
+    h = band_h if banded else H
+    uv = screen_uv_grid(h, W, row0=row0 if banded else 0, full_height=H)
+    if banded:
+        depth_c = jax.lax.dynamic_slice(depth_half, (row0, 0), (h, W))
+        normal_c = jax.lax.dynamic_slice(
+            normal_half, (row0, 0, 0), (h, W, normal_half.shape[2]))
+    else:
+        depth_c = depth_half
+        normal_c = normal_half
     camera_pos = reconstruct_view_vec(
-        uv, depth_half, params.fovy, params.aspect, params.znear,
+        uv, depth_c, params.fovy, params.aspect, params.znear,
         params.zfar,
     )
     w0 = -camera_pos / jnp.linalg.norm(camera_pos, axis=-1,
                                        keepdims=True).clip(1e-20)
     nm = jnp.asarray(params.normal_mat)
-    world_n = decode_normal(normal_half)
+    world_n = decode_normal(normal_c)
     cam_n = world_n @ nm[:3, :3].T
     cam_n = cam_n / jnp.linalg.norm(cam_n, axis=-1,
                                     keepdims=True).clip(1e-20)
@@ -125,19 +138,25 @@ def _common(depth_half, normal_half, params):
     radius_px = jnp.minimum(
         100.0 / jnp.linalg.norm(camera_pos, axis=-1).clip(1e-20), 16.0
     )
-    return uv, camera_pos, w0, cam_n, radius_px
+    return uv, camera_pos, w0, cam_n, radius_px, depth_c
 
 
 @register("gtao_compute_main")
 def gtao_main_exact(depth_half, normal_half, params: GTAOParams,
-                    base_angle, dirs_count: int = 1):
-    """Faithful gather-based port of gtao_camera_space."""
-    h, w = depth_half.shape
-    uv, camera_pos, w0, cam_n, radius_px = _common(
-        depth_half, normal_half, params
+                    base_angle, dirs_count: int = 1, row0=None,
+                    band_h: "int | None" = None):
+    """Faithful gather-based port of gtao_camera_space.
+
+    row0/band_h (band mode): compute only rows [row0, row0 + band_h);
+    depth_half stays FULL (the horizon march samples globally)."""
+    H, W = depth_half.shape
+    uv, camera_pos, w0, cam_n, radius_px, depth_c = _common(
+        depth_half, normal_half, params, row0=row0, band_h=band_h
     )
-    cls = gtao_direction_pattern(h, w).astype(jnp.float32) / 16.0
-    size = jnp.asarray([w, h], jnp.float32)
+    h, w = depth_c.shape
+    cls = gtao_direction_pattern(h, w, row0=0 if row0 is None else row0
+                                 ).astype(jnp.float32) / 16.0
+    size = jnp.asarray([W, H], jnp.float32)
 
     total = jnp.zeros((h, w), jnp.float32)
     for d in range(dirs_count):
@@ -147,7 +166,7 @@ def gtao_main_exact(depth_half, normal_half, params: GTAOParams,
             * jnp.stack([jnp.cos(angle), jnp.sin(angle)], -1) / size
         )
         n_proj_len, n_angle = _arc_terms(
-            uv, depth_half, camera_pos, w0, cam_n, dir_uv, params
+            uv, depth_c, camera_pos, w0, cam_n, dir_uv, params
         )
 
         def step(i, carry):
@@ -172,23 +191,34 @@ def gtao_main_exact(depth_half, normal_half, params: GTAOParams,
         total = total + _arc_integral(h_cos, n_proj_len, n_angle)
 
     ao = 2.0 * total / dirs_count
-    return jnp.where(depth_half >= 1.0, 0.0, ao)
+    return jnp.where(depth_c >= 1.0, 0.0, ao)
 
 
 @register("gtao_main")
 def gtao_main_dense(depth_half, normal_half, params: GTAOParams,
-                    base_angle, dirs_count: int = 1):
+                    base_angle, dirs_count: int = 1, row0=None,
+                    band_h: "int | None" = None):
     """TPU-native dense GTAO: per direction class, march integer-pixel
-    offsets via dynamic slices of the padded depth image."""
-    h, w = depth_half.shape
-    uv, camera_pos, w0, cam_n, radius_px = _common(
-        depth_half, normal_half, params
+    offsets via dynamic slices of the padded depth image.
+
+    row0/band_h (band mode): compute only rows [row0, row0 + band_h);
+    depth_half stays FULL (the march slices shift within the N_STEPS
+    halo around the band)."""
+    H, W = depth_half.shape
+    uv, camera_pos, w0, cam_n, radius_px, depth_c = _common(
+        depth_half, normal_half, params, row0=row0, band_h=band_h
     )
-    cls_img = gtao_direction_pattern(h, w)
-    size = jnp.asarray([w, h], jnp.float32)
+    h, w = depth_c.shape
+    cls_img = gtao_direction_pattern(h, w,
+                                     row0=0 if row0 is None else row0)
+    size = jnp.asarray([W, H], jnp.float32)
 
     pad = N_STEPS
     dep_pad = jnp.pad(depth_half, pad, mode="edge")
+    if row0 is not None:
+        # band + N_STEPS halo of the padded full image
+        dep_pad = jax.lax.dynamic_slice(dep_pad, (row0, 0),
+                                        (h + 2 * pad, W + 2 * pad))
 
     total = jnp.zeros((h, w), jnp.float32)
     for d in range(dirs_count):
@@ -201,7 +231,7 @@ def gtao_main_dense(depth_half, normal_half, params: GTAOParams,
                 [jnp.broadcast_to(ca, (h, w)),
                  jnp.broadcast_to(sa, (h, w))], -1) / size
             n_proj_len, n_angle = _arc_terms(
-                uv, depth_half, camera_pos, w0, cam_n, dir_uv, params
+                uv, depth_c, camera_pos, w0, cam_n, dir_uv, params
             )
 
             def step(j, carry, ca=ca, sa=sa):
@@ -248,7 +278,7 @@ def gtao_main_dense(depth_half, normal_half, params: GTAOParams,
         total = total + ao_d
 
     ao = 2.0 * total / dirs_count
-    return jnp.where(depth_half >= 1.0, 0.0, ao)
+    return jnp.where(depth_c >= 1.0, 0.0, ao)
 
 
 @register("gtao_normal_space")
@@ -465,13 +495,31 @@ def gtao_main_deinterleaved(depth_half, normal_half, params: GTAOParams,
 
 
 @register("gtao_filter")
-def gtao_filter(depth_half, raw_ao, znear: float, zfar: float):
+def gtao_filter(depth_half, raw_ao, znear: float, zfar: float,
+                row0=None, band_h: "int | None" = None):
     """4x4 depth-bilateral average (filter.comp:32-50): offsets -2..+1,
-    weight = max(0, 1 - 5|zs - z| / |z|)."""
-    z = linearize_depth(depth_half, znear, zfar)
-    pad_d = jnp.pad(depth_half, 2, mode="edge")
-    pad_ao = jnp.pad(raw_ao, 2, mode="edge")
-    h, w = depth_half.shape
+    weight = max(0, 1 - 5|zs - z| / |z|).
+
+    row0/band_h (band mode): compute only rows [row0, row0 + band_h);
+    inputs stay FULL (2-row halo)."""
+    H, W = depth_half.shape
+    banded = row0 is not None
+    h = band_h if banded else H
+    w = W
+
+    def halo(a):
+        ap = jnp.pad(a, 2, mode="edge")
+        if banded:
+            ap = jax.lax.dynamic_slice(ap, (row0, 0), (h + 4, W + 4))
+        return ap
+
+    if banded:
+        depth_c = jax.lax.dynamic_slice(depth_half, (row0, 0), (h, W))
+    else:
+        depth_c = depth_half
+    z = linearize_depth(depth_c, znear, zfar)
+    pad_d = halo(depth_half)
+    pad_ao = halo(raw_ao)
 
     weight_sum = jnp.zeros((h, w), jnp.float32)
     ao = jnp.zeros((h, w), jnp.float32)
@@ -504,17 +552,31 @@ class GTAOAccumParams(NamedTuple):
 def gtao_accumulate(depth_half, prev_depth_half, filtered_ao,
                     velocity_half, history, params: GTAOAccumParams,
                     clear_history, use_kernel_gather: bool = False,
-                    interpret: bool = False):
+                    interpret: bool = False, row0=None,
+                    band_h: "int | None" = None):
     """Temporal accumulation (accum.comp): velocity reprojection validated
     by world-space reconstruction; running mean with sample count in .y.
 
     history: (h, w, 2) = (ao, samples/255). Returns same shape.
-    """
-    h, w = depth_half.shape
-    uv = screen_uv_grid(h, w)
-    ts = jnp.asarray([w, h], jnp.float32)
 
-    velocity = velocity_half
+    row0/band_h (band mode): compute only rows [row0, row0 + band_h);
+    inputs stay FULL (reprojection reads a velocity-radius window).
+    """
+    H, W = depth_half.shape
+    banded = row0 is not None
+    h = band_h if banded else H
+    w = W
+    uv = screen_uv_grid(h, w, row0=row0 if banded else 0, full_height=H)
+    ts = jnp.asarray([W, H], jnp.float32)
+
+    def band(a):
+        if not banded:
+            return a
+        return jax.lax.dynamic_slice(
+            a, (row0,) + (0,) * (a.ndim - 1), (h,) + a.shape[1:])
+
+    depth_c = band(depth_half)
+    velocity = band(velocity_half)
     prev_uv = uv + velocity
     in_bounds = (
         (prev_uv[..., 0] >= 0.0) & (prev_uv[..., 0] <= 1.0)
@@ -529,7 +591,7 @@ def gtao_accumulate(depth_half, prev_depth_half, filtered_ao,
         else:
             d = reproject_bilinear(depth_tex, vel,
                                    use_kernel=use_kernel_gather,
-                                   interpret=interpret)
+                                   interpret=interpret, row0=row0)
         v_cam = reconstruct_view_vec(
             suv, d, params.fovy, params.aspect, params.znear, params.zfar
         )
@@ -548,7 +610,7 @@ def gtao_accumulate(depth_half, prev_depth_half, filtered_ao,
     prev_world_uv = 0.5 * prev_ndc[..., :2] + 0.5
     delta = jnp.abs(prev_world_uv - uv) * ts
 
-    cur_z = linearize_depth(depth_half, params.znear, params.zfar)
+    cur_z = linearize_depth(depth_c, params.znear, params.zfar)
     prev_z = linearize_depth(prev_ndc[..., 2], params.znear, params.zfar)
     depth_err = jnp.abs(prev_z - cur_z)
 
@@ -566,10 +628,10 @@ def gtao_accumulate(depth_half, prev_depth_half, filtered_ao,
 
     accumulated = reproject_bilinear(
         history, velocity, use_kernel=use_kernel_gather,
-        interpret=interpret,
+        interpret=interpret, row0=row0,
     )
     samples = 255.0 * accumulated[..., 1] * valid_samples
-    new_ao = filtered_ao
+    new_ao = band(filtered_ao)
     acc_ao = (accumulated[..., 0] * samples + new_ao) / (samples + 1.0)
     samples_next = samples + 1.0
     samples_next = jnp.where(samples_next > 255.0, 100.0, samples_next)

@@ -380,11 +380,21 @@ def _segments(origin, inv_dir, tmin, tmax):
 
 @register("trace_probe")
 def probe_trace(depth, normal_oct, grid: ProbeGrid, inverse_view,
-                fovy, aspect, znear, zfar):
+                fovy, aspect, znear, zfar, row0=None,
+                band_h: "int | None" = None):
     """ProbeTracePass: per-pixel probe-grid reflection
-    (trace_probe/shader.comp main + trace over neighbor probes)."""
-    h, w = depth.shape
-    uv = screen_uv_grid(h, w)
+    (trace_probe/shader.comp main + trace over neighbor probes).
+
+    row0/band_h (band mode): compute only rows [row0, row0 + band_h)."""
+    H, W = depth.shape
+    banded = row0 is not None
+    h = band_h if banded else H
+    w = W
+    uv = screen_uv_grid(h, w, row0=row0 if banded else 0, full_height=H)
+    if banded:
+        depth = jax.lax.dynamic_slice(depth, (row0, 0), (h, W))
+        normal_oct = jax.lax.dynamic_slice(
+            normal_oct, (row0, 0, 0), (h, W, normal_oct.shape[2]))
     view_vec = reconstruct_view_vec(uv, depth, fovy, aspect, znear, zfar)
     inv = jnp.asarray(inverse_view)
     n = decode_normal(normal_oct)

@@ -207,7 +207,7 @@ def downsample_full_to_half_corner(img_full):
 
 def reproject_bilinear(img, uv_offset, *, radius: int = 16,
                        texel_offset=None, use_kernel: bool = True,
-                       interpret: bool = False):
+                       interpret: bool = False, row0=None):
     """Bilinear sample at (pixel uv + uv_offset), the reprojection pattern
     of TAA / temporal accumulation.
 
@@ -215,8 +215,12 @@ def reproject_bilinear(img, uv_offset, *, radius: int = 16,
     to +-radius px, ~15x faster than XLA gather on TPU); otherwise falls
     back to the dense XLA path without the clamp. texel_offset: optional
     (2,) constant texel offset (textureOffset analog).
+
+    row0 (band mode): uv_offset covers only output rows
+    [row0, row0 + bh) of the full `img`; row0 may be traced.
     """
     h, w = img.shape[:2]
+    bh = uv_offset.shape[0]
     if use_kernel:
         from vkr_tpu.raster.gather_kernel import window_gather_bilinear
 
@@ -226,18 +230,24 @@ def reproject_bilinear(img, uv_offset, *, radius: int = 16,
             off_x = off_x + texel_offset[0]
             off_y = off_y + texel_offset[1]
         return window_gather_bilinear(img, off_y, off_x, radius=radius,
-                                      interpret=interpret)
-    uv = screen_uv_grid(h, w) + uv_offset
+                                      interpret=interpret, row0=row0)
+    uv = screen_uv_grid(bh, w, row0=0 if row0 is None else row0,
+                        full_height=h) + uv_offset
     return bilinear_sample(
         img, uv,
         None if texel_offset is None else jnp.asarray(texel_offset),
     )
 
 
-def screen_uv_grid(height: int, width: int):
+def screen_uv_grid(height: int, width: int, row0=0, full_height=None):
     """Per-pixel uv at pixel centers — the fullscreen-triangle varying
-    (screen_uv in the deferred shaders)."""
+    (screen_uv in the deferred shaders).
+
+    row0/full_height: band mode (parallel/band.py) — the grid covers
+    rows [row0, row0 + height) of a full_height-tall frame. row0 may be
+    traced (lax.axis_index under shard_map)."""
+    fh = height if full_height is None else full_height
     u = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
-    v = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    v = (row0 + jnp.arange(height, dtype=jnp.float32) + 0.5) / fh
     uu, vv = jnp.meshgrid(u, v)
     return jnp.stack([uu, vv], axis=-1)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from vkr_tpu.mathlib.brdf import (
@@ -41,22 +42,50 @@ class ShadingParams(NamedTuple):
     show_ao: bool = False
 
 
-def sample_occlusion_ssr(depth_full, depth_half, occlusion, reflections, uv):
+def sample_occlusion_ssr(depth_full, depth_half, occlusion, reflections,
+                         uv, row0=None):
     """Depth-aware 4-tap half-res upsample (shader.frag:104-129): pick the
     half-res texel (of 4 neighbors) whose depth best matches full-res.
 
     The taps are regular-grid (full-res pixel centers + constant texel
-    offsets), so they run as dense 2x upsampling instead of gathers."""
+    offsets), so they run as dense 2x upsampling instead of gathers.
+
+    row0 (band mode, FULL-res rows, even): depth_full covers only the
+    band; the half-res inputs stay full and are sliced with a 2-row
+    halo so the upsample phases/edge clamps match the full frame."""
     from vkr_tpu.passes.sampling import upsample_half_bilinear
+
+    banded = row0 is not None
+    if banded:
+        bhf = depth_full.shape[0]      # full-res band rows (even)
+        bhh = bhf // 2
+
+        def half_hal(a):
+            ap = jnp.pad(a, ((2, 2),) + ((0, 0),) * (a.ndim - 1),
+                         mode="edge")
+            return jax.lax.dynamic_slice(
+                ap, (row0 // 2,) + (0,) * (a.ndim - 1),
+                (bhh + 4,) + a.shape[1:])
+
+        depth_half = half_hal(depth_half)
+        occlusion = half_hal(occlusion)
+        reflections = half_hal(reflections)
+
+        def trim(a):
+            # upsampled local rows [4, 4 + bhf) are the band
+            return a[4 : 4 + bhf]
+    else:
+        def trim(a):
+            return a
 
     deltas = []
     occ = []
     refl = []
     for off in ((0, 0), (1, 0), (0, 1), (1, 1)):
-        d = upsample_half_bilinear(depth_half, off)
+        d = trim(upsample_half_bilinear(depth_half, off))
         deltas.append(jnp.abs(d - depth_full))
-        occ.append(upsample_half_bilinear(occlusion, off))
-        refl.append(upsample_half_bilinear(reflections, off))
+        occ.append(trim(upsample_half_bilinear(occlusion, off)))
+        refl.append(trim(upsample_half_bilinear(reflections, off)))
     deltas = jnp.stack(deltas, axis=-1)
     best = jnp.argmin(deltas, axis=-1)
     # one-hot select (take_along_axis lowers to a scalarized gather)
@@ -78,21 +107,31 @@ def deferred_shading(
     reflections=None,     # (H/2, W/2, 3) blurred SSR or None
     brdf_lut=None,        # (S, S, 2) split-sum LUT or None
     depth_half=None,      # (H/2, W/2) depth mip 1 (for the upsample)
+    row0=None,            # band mode: FULL-res first row (even; traced ok)
+    band_h=None,          # band mode: FULL-res band height
 ):
-    h, w = gbuffer.depth.shape
-    uv = screen_uv_grid(h, w)
+    H, w = gbuffer.depth.shape
+    banded = row0 is not None
+    h = band_h if banded else H
+    uv = screen_uv_grid(h, w, row0=row0 if banded else 0, full_height=H)
 
-    normal = decode_normal(gbuffer.normal)
-    albedo = gbuffer.albedo[..., :3]
-    material = gbuffer.material
-    depth = gbuffer.depth
+    def band(a):
+        if not banded:
+            return a
+        return jax.lax.dynamic_slice(
+            a, (row0,) + (0,) * (a.ndim - 1), (h,) + a.shape[1:])
+
+    normal = decode_normal(band(gbuffer.normal))
+    albedo = band(gbuffer.albedo)[..., :3]
+    material = band(gbuffer.material)
+    depth = band(gbuffer.depth)
 
     use_occlusion = occlusion is not None and depth_half is not None
     if use_occlusion:
         if reflections is None:
             reflections = jnp.zeros((*occlusion.shape, 3), jnp.float32)
         occ, refl = sample_occlusion_ssr(
-            depth, depth_half, occlusion, reflections, uv
+            depth, depth_half, occlusion, reflections, uv, row0=row0
         )
     else:
         occ = jnp.ones_like(depth)

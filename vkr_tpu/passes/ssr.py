@@ -224,22 +224,42 @@ def ssr_trace(
     max_iterations: int = 80,
     use_kernel: bool = False,
     interpret: bool = False,
+    row0=None,
+    band_h: "int | None" = None,
 ):
     """trace.comp main(): returns (ray_info (h, w, 4) = hit uvz + src depth
-    [1.0 = invalid], occlusion (h, w, 2) = AO estimate + pdf)."""
+    [1.0 = invalid], occlusion (h, w, 2) = AO estimate + pdf).
+
+    row0/band_h (band mode, parallel/band.py): compute only trace rows
+    [row0, row0 + band_h) — inputs stay FULL-frame (the march fetches
+    globally); row0 may be traced."""
     h, w = hiz.heights[0], hiz.widths[0]
-    uv = screen_uv_grid(h, w)
+    banded = row0 is not None
+    bh = band_h if banded else h
+    uv = screen_uv_grid(bh, w, row0=row0 if banded else 0, full_height=h)
     size = jnp.asarray([w, h], jnp.float32)
 
     from vkr_tpu.passes.sampling import downsample_full_to_half
 
-    material = downsample_full_to_half(material_full)[:h, :w]
+    depth_full = hiz.flat[: h * w].reshape(h, w)
+    if banded:
+        mat_in = jax.lax.dynamic_slice(
+            material_full, (2 * row0, 0, 0),
+            (2 * bh, material_full.shape[1], material_full.shape[2]))
+        normal_band = jax.lax.dynamic_slice(
+            normal_half, (row0, 0, 0), (bh, w, normal_half.shape[2]))
+        pixel_depth = jax.lax.dynamic_slice(depth_full, (row0, 0),
+                                            (bh, w))
+    else:
+        mat_in = material_full
+        normal_band = normal_half
+        pixel_depth = depth_full
+    material = downsample_full_to_half(mat_in)[:bh, :w]
     roughness_tex = material[..., 1]
     biased = params.max_roughness * roughness_tex
     roughness = biased * biased  # alpha
 
-    pixel_depth = hiz.flat[: h * w].reshape(h, w)
-    n_world = decode_normal(normal_half)
+    n_world = decode_normal(normal_band)
     nm = jnp.asarray(params.normal_mat)
     n = n_world @ nm[:3, :3].T
     n = n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-20)
@@ -291,9 +311,11 @@ def ssr_trace(
     )
     ray_dir = ray_dir * scale[..., None]
 
-    if use_kernel:
+    if use_kernel or banded:
         # Pallas 3-phase march (ssr_march.py) — same math, no XLA
-        # gathers on the hot path.
+        # gathers on the hot path. Band mode always routes here (the
+        # XLA oracle has no row origin); on CPU interpret=True runs
+        # the pure-XLA replicas.
         from vkr_tpu.passes.ssr_march import hierarchical_march_pallas
 
         mips = [
@@ -304,7 +326,8 @@ def ssr_trace(
         ]
         position, hor, iters = hierarchical_march_pallas(
             mips, ray_start, ray_dir, view_vec, w0, params,
-            max_iterations, interpret=interpret,
+            max_iterations, interpret=interpret or not use_kernel,
+            row0=row0,
         )
     else:
         position, hor, iters = _hierarchical_march(
@@ -610,46 +633,76 @@ def ssr_filter(
     params: SSRParams,
     flags_normalize: bool = True,
     flags_bilateral: bool = True,
+    row0=None,
+    band_h: "int | None" = None,
 ):
-    """filter.comp: 5-tap cross resolve, BRDF-weighted."""
-    h, w = depth_half.shape
+    """filter.comp: 5-tap cross resolve, BRDF-weighted.
+
+    row0/band_h (band mode): compute only rows [row0, row0 + band_h);
+    inputs stay FULL-frame (the hit-uv radiance gather is global; the
+    5-tap cross takes a 1-row halo)."""
+    H, W = depth_half.shape
+    banded = row0 is not None
+    h = band_h if banded else H
+    w = W
     # NOTE: filter.comp uses uv = pixel/tex_size (no half-texel!)
     xs = jnp.arange(w, dtype=jnp.float32) / w
-    ys = jnp.arange(h, dtype=jnp.float32) / h
+    ys = ((row0 if banded else 0)
+          + jnp.arange(h, dtype=jnp.float32)) / H
     uv = jnp.stack(jnp.meshgrid(xs, ys), axis=-1)
 
     from vkr_tpu.passes.sampling import downsample_full_to_half_corner
 
-    material = downsample_full_to_half_corner(material_full)[:h, :w]
+    def band(a):
+        if not banded:
+            return a
+        return jax.lax.dynamic_slice(
+            a, (row0,) + (0,) * (a.ndim - 1), (h,) + a.shape[1:])
+
+    material = band(downsample_full_to_half_corner(material_full)
+                    [:H, :W])
     metallic = material[..., 2]
     roughness = material[..., 1]
-    albedo = downsample_full_to_half_corner(albedo_full[..., :3])[:h, :w]
+    albedo = band(downsample_full_to_half_corner(albedo_full[..., :3])
+                  [:H, :W])
     f0 = f0_approximation(albedo, metallic)
     nm = jnp.asarray(params.normal_mat)
 
-    center_depth = depth_half
+    center_depth = band(depth_half)
 
     from vkr_tpu.passes.sampling import bilinear_from_quad, quad_pack
 
     albedo_quad = quad_pack(albedo_full[..., :3])
 
+    pad = 1
+
+    def halo_rows(a):
+        # rows [row0 - pad, row0 + h + pad) with frame-edge replication
+        ap = jnp.pad(a, ((pad, pad),) + ((0, 0),) * (a.ndim - 1),
+                     mode="edge")
+        if banded:
+            ap = jax.lax.dynamic_slice(
+                ap, (row0,) + (0,) * (a.ndim - 1),
+                (h + 2 * pad,) + a.shape[1:])
+        return ap
+
+    rays_h = halo_rows(rays)
     # Each tap samples radiance at the NEIGHBOR ray's hit uv — exactly the
     # value the center tap computes at that neighbor pixel. Gather once per
-    # pixel and shift (the scattered hit-uv gather is the pass's only
-    # expensive op on TPU; 5 gathers -> 1).
-    radiance0 = jnp.where(
-        (rays[..., 3] != 1.0)[..., None],
-        bilinear_from_quad(albedo_quad, 3, rays[..., :2]),
+    # pixel (on the halo-extended rows) and shift (the scattered hit-uv
+    # gather is the pass's only expensive op on TPU; 5 gathers -> 1).
+    radiance_h = jnp.where(
+        (rays_h[..., 3] != 1.0)[..., None],
+        bilinear_from_quad(albedo_quad, 3, rays_h[..., :2]),
         0.0,
     )
-
-    pad = 1
-    rays_p = jnp.pad(rays, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
-    rad_p = jnp.pad(radiance0, ((pad, pad), (pad, pad), (0, 0)),
+    rays_p = jnp.pad(rays_h, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    rad_p = jnp.pad(radiance_h, ((0, 0), (pad, pad), (0, 0)),
                     mode="edge")
-    depth_p = jnp.pad(depth_half, pad, mode="edge")
-    normal_p = jnp.pad(normal_half, ((pad, pad), (pad, pad), (0, 0)),
-                       mode="edge")
+    depth_p = jnp.pad(halo_rows(depth_half), ((0, 0), (pad, pad)),
+                      mode="edge")
+    normal_p = jnp.pad(halo_rows(normal_half),
+                       ((0, 0), (pad, pad), (0, 0)), mode="edge")
 
     color_sum = jnp.zeros((h, w, 3), jnp.float32)
     weight_sum = jnp.zeros((h, w, 3), jnp.float32)
@@ -721,32 +774,60 @@ def ssr_blur(
     params: SSRBlurParams,
     use_kernel_gather: bool = False,
     interpret: bool = False,
+    row0=None,
+    band_h: "int | None" = None,
 ):
     """blur.comp: per-pixel roughness-adaptive gaussian (sigma in
     [0.4, 4]) with depth/normal bilateral weights, then velocity-validated
-    history blend (0.1)."""
-    h, w = depth_half.shape
-    uv = screen_uv_grid(h, w)
+    history blend (0.1).
+
+    row0/band_h (band mode): compute only rows [row0, row0 + band_h);
+    inputs stay FULL-frame (the gaussian takes a MAX_BLUR_RADIUS halo,
+    history reprojection a velocity-radius window)."""
+    H, W = depth_half.shape
+    banded = row0 is not None
+    h = band_h if banded else H
+    w = W
+    uv = screen_uv_grid(h, w, row0=row0 if banded else 0, full_height=H)
+
+    def band(a):
+        if not banded:
+            return a
+        return jax.lax.dynamic_slice(
+            a, (row0,) + (0,) * (a.ndim - 1), (h,) + a.shape[1:])
 
     from vkr_tpu.passes.sampling import downsample_full_to_half
 
-    roughness = downsample_full_to_half(material_full[..., 1])[:h, :w]
+    roughness = band(
+        downsample_full_to_half(material_full[..., 1])[:H, :W])
     roughness = params.max_roughness * roughness
     sigma = 0.4 + (4.0 - 0.4) * roughness
     if params.disable_blur:
         sigma = jnp.full_like(sigma, 0.35)
     r_pix = jnp.floor(3.0 * sigma - 0.01)
 
-    center_normal = decode_normal(normal_half)
+    center_normal = decode_normal(band(normal_half))
     g = 1.0 / (2.0 * PI * sigma * sigma)
     e = 2.0 * sigma * sigma
 
     pad = MAX_BLUR_RADIUS
-    refl_p = jnp.pad(reflections, ((pad, pad), (pad, pad), (0, 0)),
+
+    def halo_rows(a):
+        ap = jnp.pad(a, ((pad, pad),) + ((0, 0),) * (a.ndim - 1),
                      mode="edge")
-    depth_p = jnp.pad(depth_half, pad, mode="edge")
-    normal_p = jnp.pad(normal_half, ((pad, pad), (pad, pad), (0, 0)),
-                       mode="edge")
+        if banded:
+            ap = jax.lax.dynamic_slice(
+                ap, (row0,) + (0,) * (a.ndim - 1),
+                (h + 2 * pad,) + a.shape[1:])
+        return ap
+
+    refl_p = jnp.pad(halo_rows(reflections),
+                     ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    depth_p = jnp.pad(halo_rows(depth_half), ((0, 0), (pad, pad)),
+                      mode="edge")
+    normal_p = jnp.pad(halo_rows(normal_half),
+                       ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    depth_c = band(depth_half)
 
     side = 2 * MAX_BLUR_RADIUS + 1
 
@@ -764,8 +845,8 @@ def ssr_blur(
                                   (h, w, 2))
         )
         bw = jnp.maximum(
-            1.0 - 1000.0 * jnp.abs(depth_half - p_depth)
-            / jnp.abs(depth_half).clip(1e-20), 0.0,
+            1.0 - 1000.0 * jnp.abs(depth_c - p_depth)
+            / jnp.abs(depth_c).clip(1e-20), 0.0,
         )
         nw = jnp.maximum((center_normal * p_norm).sum(-1), 0.0)
         wgt = g * jnp.exp(-(fi * fi + fj * fj) / e) * bw * nw
@@ -783,7 +864,7 @@ def ssr_blur(
     color = color / jnp.maximum(weight_sum, 0.001)[..., None]
 
     # history reprojection (blur.comp:82-106)
-    velocity = velocity_half
+    velocity = band(velocity_half)
     prev_uv = uv + velocity
     in_b = (
         (prev_uv[..., 0] >= 0) & (prev_uv[..., 0] <= 1)
@@ -798,13 +879,13 @@ def ssr_blur(
         else:
             d = reproject_bilinear(dtex, vel,
                                    use_kernel=use_kernel_gather,
-                                   interpret=interpret)
+                                   interpret=interpret, row0=row0)
         vc = reconstruct_view_vec(suv, d, params.fovy, params.aspect,
                                   params.znear, params.zfar)
         m = jnp.asarray(inv_cam)
         return vc @ m[:3, :3].T + m[:3, 3][None, None, :]
 
-    w_cur = world(depth_half, params.inverse_camera, uv)
+    w_cur = world(depth_c, params.inverse_camera, uv)
     w_prev = world(prev_depth_half, params.prev_inverse_camera, prev_uv,
                    vel=velocity)
     cam = jnp.asarray(params.inverse_camera)[:3, 3]
@@ -819,7 +900,7 @@ def ssr_blur(
         reprojected = jnp.zeros_like(reprojected)
 
     # NOTE: blur.comp samples HISTORY_TEX at screen_uv (not prev_uv)
-    hist = history
+    hist = band(history)
     out = jnp.where(
         reprojected[..., None], hist + (color - hist) * 0.1, color
     )

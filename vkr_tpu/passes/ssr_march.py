@@ -146,7 +146,8 @@ def _step(c, st, surface_z, i_scalar, *, mip0sample, min_mip,
 # ------------------------------------------------------------ phase A
 
 def _phase_a_kernel(cons_ref, dpad_hbm, out_ref, win, sem, *,
-                    h, w, fovy, aspect, znear, zfar, n_iters):
+                    h, w, fovy, aspect, znear, zfar, n_iters,
+                    banded=False):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     y0 = ty * 8
@@ -187,6 +188,13 @@ def _phase_a_kernel(cons_ref, dpad_hbm, out_ref, win, sem, *,
 
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    # band mode: cons carries the GLOBAL pixel row per ray (the dpad
+    # input is band-sliced, so the window DMA keeps band-local y0 while
+    # the lattice cells — derived from global uv — need global rows)
+    if banded:
+        prow = cons_ref[N_CONS].astype(jnp.int32)
+    else:
+        prow = y0 + s_iota
 
     # ---- pass 1: closed-form DDA lattice + ring-shell prefetch.  The
     # always-advance path's t/cell sequence uses the exact f32
@@ -209,7 +217,7 @@ def _phase_a_kernel(cons_ref, dpad_hbm, out_ref, win, sem, *,
         mpy = h * lpy
         xi = jnp.clip(mpx.astype(jnp.int32), 0, w - 1)
         yi = jnp.clip(mpy.astype(jnp.int32), 0, h - 1)
-        dyj = yi - (y0 + s_iota)
+        dyj = yi - prow
         dxj = xi - (x0 + l_iota)
         shell_lo = max(0, j + 1 - _A_DELTA)
         shell_hi = min(j + 1 + _A_DELTA, _A_RMAX)
@@ -266,7 +274,7 @@ def _phase_a_kernel(cons_ref, dpad_hbm, out_ref, win, sem, *,
 
 
 def _phase_a_xla(cons, mip0, *, h, w, hp, wp, fovy, aspect, znear, zfar,
-                 n_iters):
+                 n_iters, banded=False):
     """Pure-XLA replica of _phase_a_kernel (bit-identical semantics,
     including the ring-shell drop policy). Used for interpret=True:
     Pallas interpret mode of the unrolled select chain takes tens of
@@ -294,7 +302,10 @@ def _phase_a_xla(cons, mip0, *, h, w, hp, wp, fovy, aspect, znear, zfar,
     st["py"] = c["oy"] + ct * c["dy"]
     st["pz"] = c["oz"] + ct * c["dz"]
 
-    gy = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    if banded:
+        gy = cons[N_CONS].astype(jnp.int32)
+    else:
+        gy = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
     gx = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
 
     fetched = []
@@ -569,33 +580,58 @@ def _pad2(a, hp, wp, value):
     static_argnames=("shapes", "fovy", "aspect", "znear", "zfar",
                      "max_iterations", "compact_frac", "interpret"),
 )
-def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
-                fovy, aspect, znear, zfar, max_iterations, compact_frac,
-                interpret):
+def _march_impl(mips, origin, direction, camera_start, w0, row0, *,
+                shapes, fovy, aspect, znear, zfar, max_iterations,
+                compact_frac, interpret):
     h, w = shapes[0]
-    hp = -(-h // 8) * 8
+    banded = row0 is not None
+    bh = origin.shape[0]  # band rows (== h when not banded)
+    hp = -(-bh // 8) * 8
     wp = -(-w // 128) * 128
 
     # per-ray constants, padded so pad rays retire out-of-bounds at once
+    chans = [origin[..., 0], origin[..., 1], origin[..., 2],
+             direction[..., 0], direction[..., 1], direction[..., 2],
+             camera_start[..., 0], camera_start[..., 1],
+             camera_start[..., 2],
+             w0[..., 0], w0[..., 1], w0[..., 2]]
+    pad_vals = [2.0, 2.0, 0.5, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                1.0]
+    n_cons_a = N_CONS
+    if banded:
+        # band mode: phase A needs each ray's GLOBAL pixel row (the
+        # window DMA stays band-local; lattice cells are global)
+        prow = (row0 + jnp.arange(bh, dtype=jnp.float32))[:, None] \
+            * jnp.ones((1, w), jnp.float32)
+        chans.append(prow)
+        pad_vals.append(-1e6)
+        n_cons_a = N_CONS + 1
     cons = jnp.stack(
-        [origin[..., 0], origin[..., 1], origin[..., 2],
-         direction[..., 0], direction[..., 1], direction[..., 2],
-         camera_start[..., 0], camera_start[..., 1], camera_start[..., 2],
-         w0[..., 0], w0[..., 1], w0[..., 2]], axis=0,
-    )  # (12, h, w)
-    pad_vals = (2.0, 2.0, 0.5, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)
-    cons = jnp.stack(
-        [_pad2(cons[i], hp, wp, pad_vals[i]) for i in range(N_CONS)]
+        [_pad2(chans[i], hp, wp, pad_vals[i])
+         for i in range(len(chans))]
     )
-    dpad = jnp.pad(_pad2(mips[0], hp, wp, 1.0),
-                   ((24, 24), (128, 128)), constant_values=1.0)
+
+    # phase-A mip-0 window source: rows [row0 - 24, row0 + bh + 24) of
+    # the far-plane-padded full-res depth (static slice size; row0 is
+    # traced in band mode)
+    dpad_full = jnp.pad(
+        jnp.pad(mips[0], ((0, hp - bh if not banded else 0), (0, wp - w)),
+                constant_values=1.0),
+        # banded: +8 extra far-plane rows so the LAST band's slice stays
+        # in range when its height pads up to a multiple of 8
+        ((24, 32 if banded else 24), (128, 128)), constant_values=1.0)
+    if banded:
+        dpad = jax.lax.dynamic_slice(
+            dpad_full, (row0, 0), (hp + 48, dpad_full.shape[1]))
+    else:
+        dpad = dpad_full
 
     n_a = min(16, max_iterations)
     grid_a = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(hp // 8, wp // 128),
         in_specs=[
-            pl.BlockSpec((N_CONS, 8, 128), lambda i, j: (0, i, j)),
+            pl.BlockSpec((n_cons_a, 8, 128), lambda i, j: (0, i, j)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec((N_STATE, 8, 128), lambda i, j: (0, i, j)),
@@ -606,20 +642,21 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
     )
     if interpret:
         state = _phase_a_xla(
-            cons, _pad2(mips[0], hp, wp, 1.0), h=h, w=w, hp=hp, wp=wp,
+            cons, mips[0], h=h, w=w, hp=hp, wp=wp,
             fovy=fovy, aspect=aspect, znear=znear, zfar=zfar,
-            n_iters=n_a,
+            n_iters=n_a, banded=banded,
         )
     else:
         state = pl.pallas_call(
             functools.partial(
                 _phase_a_kernel, h=h, w=w, fovy=fovy, aspect=aspect,
-                znear=znear, zfar=zfar, n_iters=n_a,
+                znear=znear, zfar=zfar, n_iters=n_a, banded=banded,
             ),
             grid_spec=grid_a,
             out_shape=jax.ShapeDtypeStruct((N_STATE, hp, wp), jnp.float32),
             interpret=interpret,
         )(cons, dpad)
+    cons = cons[:N_CONS]  # phase B uses only the uv-space constants
 
     # full pyramid as VMEM tables, bf16 hi + residual lo: mips >= 1
     # flat-packed together, mip 0 (full res, padded) separate
@@ -764,7 +801,7 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
         state = state_f.reshape(N_STATE, hp, wp)
 
     def ch(k):
-        return state[_ST.index(k), :h, :w]
+        return state[_ST.index(k), :bh, :w]
 
     done = ch("done") > 0.5
     oob = ch("oob") > 0.5
@@ -780,13 +817,20 @@ def _march_impl(mips, origin, direction, camera_start, w0, *, shapes,
 def hierarchical_march_pallas(mips, origin, direction, camera_start, w0,
                               params, max_iterations,
                               compact_frac: float = 0.5,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              row0=None):
     """Drop-in Pallas replacement for ssr._hierarchical_march
     (find_hor=True). mips: list of (h_l, w_l) depth arrays (the hi-Z
-    pyramid). Returns (position (h, w, 3), hor (h, w), iters (h, w))."""
+    pyramid). Returns (position (h, w, 3), hor (h, w), iters (h, w)).
+
+    row0 (band mode, parallel/band.py): origin/direction/... cover only
+    rows [row0, row0 + band_h) of the trace grid while mips stay
+    full-frame; row0 may be traced (any value — the phase-A window
+    slice carries global pixel rows per ray)."""
     shapes = tuple((int(m.shape[0]), int(m.shape[1])) for m in mips)
     return _march_impl(
-        tuple(mips), origin, direction, camera_start, w0, shapes=shapes,
+        tuple(mips), origin, direction, camera_start, w0, row0,
+        shapes=shapes,
         fovy=float(params.fovy), aspect=float(params.aspect),
         znear=float(params.znear), zfar=float(params.zfar),
         max_iterations=int(max_iterations),

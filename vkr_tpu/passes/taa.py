@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from vkr_tpu.mathlib.projection import reconstruct_view_vec
@@ -38,12 +39,29 @@ def taa_resolve(
     params: TAAParams,
     use_kernel_gather: bool = False,
     interpret: bool = False,
+    row0=None,
+    band_h: "int | None" = None,
 ):
+    """row0/band_h (band mode, parallel/band.py): compute only rows
+    [row0, row0 + band_h); inputs stay FULL-frame (history reprojection
+    reads a velocity-radius window)."""
     from vkr_tpu.passes.sampling import reproject_bilinear
 
-    h, w = current_depth.shape
-    uv = screen_uv_grid(h, w)
+    H, W = current_depth.shape
+    banded = row0 is not None
+    h = band_h if banded else H
+    w = W
+    uv = screen_uv_grid(h, w, row0=row0 if banded else 0, full_height=H)
 
+    def band(a):
+        if not banded:
+            return a
+        return jax.lax.dynamic_slice(
+            a, (row0,) + (0,) * (a.ndim - 1), (h,) + a.shape[1:])
+
+    velocity = band(velocity)
+    current_color_c = band(current_color)
+    depth_c = band(current_depth)
     delta_len = jnp.linalg.norm(velocity, axis=-1)
     prev_uv = uv + velocity
     in_bounds = (
@@ -55,6 +73,7 @@ def taa_resolve(
         return reproject_bilinear(
             history_color, velocity, texel_offset=texel_offset,
             use_kernel=use_kernel_gather, interpret=interpret,
+            row0=row0,
         )
 
     history = hist_tap()
@@ -66,7 +85,7 @@ def taa_resolve(
     color_max = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
     history = jnp.clip(history, color_min, color_max)
 
-    blended = history + (current_color - history) * 0.1
+    blended = history + (current_color_c - history) * 0.1
 
     def world(dtex, inv_cam, suv, vel=None):
         if vel is None:
@@ -74,13 +93,13 @@ def taa_resolve(
         else:
             d = reproject_bilinear(dtex, vel,
                                    use_kernel=use_kernel_gather,
-                                   interpret=interpret)
+                                   interpret=interpret, row0=row0)
         vc = reconstruct_view_vec(suv, d, params.fovy, params.aspect,
                                   params.znear, params.zfar)
         m = jnp.asarray(inv_cam)
         return vc @ m[:3, :3].T + m[:3, 3][None, None, :]
 
-    w_cur = world(current_depth, params.inverse_camera, uv)
+    w_cur = world(depth_c, params.inverse_camera, uv)
     w_prev = world(history_depth, params.prev_inverse_camera, prev_uv,
                    vel=velocity)
     cam = jnp.asarray(params.inverse_camera)[:3, 3]
@@ -91,4 +110,5 @@ def taa_resolve(
         | (error < jnp.clip(0.1 * pixel_dist * delta_len, 0.01, 0.2))
     )
 
-    return jnp.where(reprojected[..., None], blended, current_color)
+    return jnp.where(reprojected[..., None], blended,
+                     current_color_c)

@@ -128,20 +128,24 @@ def _pad_image(img, radius: int):
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))
 def window_gather_bilinear(img, off_y, off_x, *, radius: int = 16,
-                           interpret: bool = False):
+                           interpret: bool = False, row0=None):
     """Bilinear sample of `img` at (y + off_y, x + off_x) per pixel,
     offsets clamped to +-radius pixels, clamp-to-edge.
 
     img: (H, W) or (H, W, C) f32; off_*: (H, W) f32 in pixel units.
     Multi-channel images run in ONE kernel (shared index math and a single
     windowed DMA per tile).
+
+    row0 (band mode): off_* cover only output rows [row0, row0 + bh) of
+    the full `img` frame — the padded image is sliced so each tile's
+    window DMA lands on its global rows; row0 may be traced.
     """
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
     channels = img.shape[-1]
 
-    h, w = img.shape[:2]
+    h, w = off_y.shape[:2]
     tiles_y = -(-h // TILE_H)
     tiles_x = -(-w // TILE_W)
     # +1 row so the y0+1 tap at the max positive offset stays in-window
@@ -153,6 +157,10 @@ def window_gather_bilinear(img, off_y, off_x, *, radius: int = 16,
     )
     hp = tiles_y * TILE_H
     wp = tiles_x * TILE_W
+    if row0 is not None:
+        img_p = jax.lax.dynamic_slice(
+            img_p, (0, row0, 0),
+            (channels, hp + 2 * radius + TILE_H, img_p.shape[2]))
 
     def pad2(a):
         return jnp.pad(a.astype(jnp.float32),
