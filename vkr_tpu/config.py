@@ -34,6 +34,12 @@ class GTAOConfig:
     pattern_n: int = 4           # rotating direction pattern period
     two_directions: bool = False # AO_MODE in main.comp
     mis: bool = False            # MIS AO+reflection mode
+    # ray-traced GTAO against the scene acceleration structure
+    # (gtao.cpp:150-196 + shaders/gtao/rt_main.frag); off by default
+    # exactly like the reference's USE_RAY_QUERY=0 (main.cpp:40)
+    use_ray_query: bool = False
+    rt_directions: int = 64      # DIRECTION_COUNT (rt_main.frag:19)
+    rt_radius: float = 0.2       # scaled_dir length (rt_main.frag:94)
 
 
 @dataclasses.dataclass(frozen=True)

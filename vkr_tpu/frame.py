@@ -9,6 +9,8 @@ donate_argnums on the state reproduces the zero-copy swap.
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple
 
 import jax
@@ -113,6 +115,32 @@ def build_probe_grid(scene_cpu, cfg: RenderConfig, margin: float = 0.5,
     )
 
 
+def build_scene_tri_grid(scene_cpu, resolution: int = 48,
+                         cap: int = 24):
+    """Build the uniform-grid acceleration structure over the scene's
+    WORLD-space triangles (the scene_as.cpp BLAS/TLAS build analog;
+    startup task, host-side). Feeds gtao_rt via render_frame's
+    tri_grid argument when cfg.gtao.use_ray_query is set."""
+    import numpy as _np
+
+    from vkr_tpu.scene.accel import build_tri_grid
+
+    pos = _np.asarray(scene_cpu.positions)
+    m = _np.asarray(scene_cpu.transforms)[
+        _np.asarray(scene_cpu.vert_transform)
+    ]
+    world = _np.einsum("vij,vj->vi", m[:, :3, :3], pos) + m[:, :3, 3]
+    return build_tri_grid(world, _np.asarray(scene_cpu.tri_indices),
+                          resolution=resolution, cap=cap)
+
+
+@functools.lru_cache(maxsize=4)
+def _rt_direction_table(count: int):
+    from vkr_tpu.passes.gtao import ao_ray_directions
+
+    return ao_ray_directions(count)
+
+
 def render_frame(
     scene: SceneDevice,
     state: FrameState,
@@ -121,6 +149,7 @@ def render_frame(
     cfg: RenderConfig,
     *,
     probe_grid=None,
+    tri_grid=None,
     use_pallas: bool = True,
     interpret: bool = False,
 ):
@@ -142,8 +171,8 @@ def render_frame(
         ),
     )
     return shade_frame(gbuf, state, cam, ssr_res, cfg,
-                       probe_grid=probe_grid, use_pallas=use_pallas,
-                       interpret=interpret)
+                       probe_grid=probe_grid, tri_grid=tri_grid,
+                       use_pallas=use_pallas, interpret=interpret)
 
 
 def shade_frame(
@@ -154,6 +183,7 @@ def shade_frame(
     cfg: RenderConfig,
     *,
     probe_grid=None,
+    tri_grid=None,
     use_pallas: bool = True,
     interpret: bool = False,
     band=None,
@@ -273,14 +303,29 @@ def shade_frame(
         )
         base_angle = _gtao.frame_base_angle(state.frame_index)
         dirs = 2 if cfg.gtao.two_directions else 1
-        gtao_fn = registry.get(
-            "gtao_main" if use_pallas else "gtao_compute_main"
-        )
-        raw_ao = g(add_task(
-            "GTAO_main",
-            lambda: gtao_fn(depth_half, hiz.normal_half, gp, base_angle,
-                            dirs, row0=r0h, band_h=bhh),
-        ))
+        if cfg.gtao.use_ray_query and tri_grid is not None:
+            # ray-query GTAO against the scene AS (gtao.cpp:150-196,
+            # rt_main.frag) — filter/accumulate run unchanged after it
+            rt_dirs = jnp.asarray(
+                _rt_direction_table(cfg.gtao.rt_directions))
+            raw_ao = g(add_task(
+                "GTAO_rt",
+                lambda: registry.get("gtao_rt")(
+                    depth_half, hiz.normal_half, tri_grid, inv_view,
+                    cfg.camera.fovy, cfg.aspect, cfg.camera.znear,
+                    cfg.camera.zfar, base_angle, rt_dirs,
+                    rt_radius=cfg.gtao.rt_radius, row0=r0h, band_h=bhh,
+                ),
+            ))
+        else:
+            gtao_fn = registry.get(
+                "gtao_main" if use_pallas else "gtao_compute_main"
+            )
+            raw_ao = g(add_task(
+                "GTAO_main",
+                lambda: gtao_fn(depth_half, hiz.normal_half, gp,
+                                base_angle, dirs, row0=r0h, band_h=bhh),
+            ))
         filtered_ao = g(add_task(
             "GTAO_filter",
             lambda: registry.get("gtao_filter")(depth_half, raw_ao,

@@ -47,6 +47,7 @@ def render_frame_banded(
     mesh: Mesh,
     *,
     probe_grid=None,
+    tri_grid=None,
     use_pallas: bool = True,
     interpret: bool = False,
 ):
@@ -96,8 +97,9 @@ def render_frame_banded(
 
         color, new_state, aux = shade_frame(
             gbuf_full, state_in, cam_in, res_in, cfg,
-            probe_grid=probe_grid, use_pallas=use_pallas,
-            interpret=interpret, band=(row0, bh), gather_fn=gather,
+            probe_grid=probe_grid, tri_grid=tri_grid,
+            use_pallas=use_pallas, interpret=interpret,
+            band=(row0, bh), gather_fn=gather,
         )
         color_band = jax.lax.dynamic_slice(color, (row0, 0, 0),
                                            (bh, w, color.shape[-1]))

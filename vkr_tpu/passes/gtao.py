@@ -281,6 +281,110 @@ def gtao_main_dense(depth_half, normal_half, params: GTAOParams,
     return jnp.where(depth_c >= 1.0, 0.0, ao)
 
 
+def ao_ray_directions(count: int = 64, seed: int = 7):
+    """The reference's fixed hemisphere direction set
+    (gtao.cpp:415-440): rejection-sample uniform unit vectors with
+    z >= 0 once per run. Its std::default_random_engine stream is
+    replaced by a seeded numpy RNG — same distribution, deterministic,
+    like frame_base_angle's rand() replacement."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out = []
+    while len(out) < count:
+        v = rng.uniform(-1.0, 1.0, 3)
+        v[2] = abs(v[2])
+        n = float(np.linalg.norm(v))
+        if n <= 1e-5 or n > 1.0:
+            continue
+        out.append(v / n)
+    return np.asarray(out, np.float32)
+
+
+@register("gtao_rt")
+def gtao_rt(depth_half, normal_half, tri_grid, camera_to_world,
+            fovy, aspect, znear, zfar, rotation, directions,
+            rt_radius: float = 0.2, max_steps: int = 12,
+            dir_chunk: int = 8, row0=None,
+            band_h: "int | None" = None):
+    """Ray-traced GTAO (shaders/gtao/rt_main.frag): per half-res pixel,
+    trace the fixed hemisphere direction set (rotated into the surface
+    frame by the per-pixel dither angle + per-frame rotation) against
+    the scene acceleration structure; AO = 2 * mean(visibility * NdotL).
+
+    tri_grid: scene.accel.TriGrid (the TLAS analog); directions:
+    (N, 3) from ao_ray_directions. Opt-in behind
+    cfg.gtao.use_ray_query, like the reference's USE_RAY_QUERY.
+
+    row0/band_h (band mode): compute only rows [row0, row0 + band_h)."""
+    from vkr_tpu.scene.accel import ray_any_hit
+
+    H, W = depth_half.shape
+    banded = row0 is not None
+    h = band_h if banded else H
+    w = W
+    uv = screen_uv_grid(h, w, row0=row0 if banded else 0, full_height=H)
+    if banded:
+        depth_c = jax.lax.dynamic_slice(depth_half, (row0, 0), (h, W))
+        normal_c = jax.lax.dynamic_slice(
+            normal_half, (row0, 0, 0), (h, W, normal_half.shape[2]))
+    else:
+        depth_c = depth_half
+        normal_c = normal_half
+
+    view_vec = reconstruct_view_vec(uv, depth_c, fovy, aspect, znear,
+                                    zfar)
+    c2w = jnp.asarray(camera_to_world)
+    world_pos = view_vec @ c2w[:3, :3].T + c2w[:3, 3][None, None, :]
+    n = decode_normal(normal_c)
+    world_pos = world_pos + 1e-6 * n
+
+    # tangent frame + per-pixel dither rotation (rt_main.frag:47-86)
+    max_xy = jnp.maximum(jnp.abs(n[..., 0]), jnp.abs(n[..., 1]))
+    t = jnp.where(
+        (max_xy < 1e-5)[..., None],
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), n.shape),
+        jnp.stack([n[..., 1], -n[..., 0], jnp.zeros_like(max_xy)], -1),
+    )
+    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True).clip(1e-20)
+    b = jnp.cross(n, t)
+    b = b / jnp.linalg.norm(b, axis=-1, keepdims=True).clip(1e-20)
+    t = jnp.cross(b, n)
+    cls = gtao_direction_pattern(
+        h, w, row0=0 if row0 is None else row0
+    ).astype(jnp.float32) / 16.0
+    angle = 2.0 * PI * (rotation + cls)
+    t = jnp.cos(angle)[..., None] * t + jnp.sin(angle)[..., None] * b
+    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True).clip(1e-20)
+    b = jnp.cross(n, t)
+    b = b / jnp.linalg.norm(b, axis=-1, keepdims=True).clip(1e-20)
+    t = jnp.cross(b, n)
+    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True).clip(1e-20)
+
+    dirs = jnp.asarray(directions, jnp.float32)
+    n_dirs = dirs.shape[0]
+    total = jnp.zeros((h, w), jnp.float32)
+    for c0 in range(0, n_dirs, dir_chunk):
+        d_loc = dirs[c0 : c0 + dir_chunk]  # (C, 3)
+        d_loc = d_loc / jnp.linalg.norm(d_loc, axis=-1,
+                                        keepdims=True).clip(1e-20)
+        # local -> world per pixel: (h, w, C, 3)
+        dw = (
+            d_loc[None, None, :, 2:3] * n[..., None, :]
+            + d_loc[None, None, :, 0:1] * t[..., None, :]
+            + d_loc[None, None, :, 1:2] * b[..., None, :]
+        )
+        dw = dw / jnp.linalg.norm(dw, axis=-1, keepdims=True).clip(1e-20)
+        ndl = jnp.maximum((dw * n[..., None, :]).sum(-1), 0.0)
+        orig = jnp.broadcast_to(world_pos[..., None, :], dw.shape)
+        hit = ray_any_hit(tri_grid, orig, dw, rt_radius,
+                          max_steps=max_steps)
+        total = total + (jnp.where(hit, 0.0, 1.0) * ndl).sum(-1)
+
+    ao = 2.0 * total / n_dirs
+    return jnp.where(depth_c >= 1.0, 0.0, ao)
+
+
 @register("gtao_normal_space")
 def gtao_normal_space(depth_half, normal_half, params: GTAOParams,
                       base_angle, dirs_count: int = 1):
