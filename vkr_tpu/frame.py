@@ -318,14 +318,21 @@ def shade_frame(
                 ),
             ))
         else:
-            gtao_fn = registry.get(
-                "gtao_main" if use_pallas else "gtao_compute_main"
-            )
-            raw_ao = g(add_task(
-                "GTAO_main",
-                lambda: gtao_fn(depth_half, hiz.normal_half, gp,
-                                base_angle, dirs, row0=r0h, band_h=bhh),
-            ))
+            if use_pallas:
+                raw_ao = g(add_task(
+                    "GTAO_main",
+                    lambda: registry.get("gtao_main")(
+                        depth_half, hiz.normal_half, gp, base_angle,
+                        dirs, row0=r0h, band_h=bhh,
+                        interpret=interpret),
+                ))
+            else:
+                raw_ao = g(add_task(
+                    "GTAO_main",
+                    lambda: registry.get("gtao_compute_main")(
+                        depth_half, hiz.normal_half, gp, base_angle,
+                        dirs, row0=r0h, band_h=bhh),
+                ))
         filtered_ao = g(add_task(
             "GTAO_filter",
             lambda: registry.get("gtao_filter")(depth_half, raw_ao,

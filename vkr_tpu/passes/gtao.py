@@ -195,6 +195,73 @@ def gtao_main_exact(depth_half, normal_half, params: GTAOParams,
 
 
 @register("gtao_main")
+def gtao_main_window(depth_half, normal_half, params: GTAOParams,
+                     base_angle, dirs_count: int = 1, row0=None,
+                     band_h: "int | None" = None,
+                     interpret: bool = False):
+    """Production GTAO main: the EXACT reference sampling (16 bilinear
+    taps at fractional uv fractions of the per-pixel radius,
+    gtao_camera_space main.comp:195-225) made TPU-fast by fetching all
+    16 steps' taps with ONE multi-offset window-gather kernel call per
+    direction (offsets are radius-bounded <= 16 px, so each (8,128)
+    tile needs one window DMA shared by all steps). Matches
+    gtao_main_exact to float rounding — unlike the integer-step dense
+    fallback (gtao_main_dense), whose sample placement deviates.
+
+    row0/band_h (band mode): compute only rows [row0, row0 + band_h);
+    depth_half stays FULL (the window kernel slices the halo)."""
+    from vkr_tpu.raster.gather_kernel import window_gather_bilinear_multi
+
+    H, W = depth_half.shape
+    uv, camera_pos, w0, cam_n, radius_px, depth_c = _common(
+        depth_half, normal_half, params, row0=row0, band_h=band_h
+    )
+    h, w = depth_c.shape
+    cls = gtao_direction_pattern(h, w, row0=0 if row0 is None else row0
+                                 ).astype(jnp.float32) / 16.0
+    size = jnp.asarray([W, H], jnp.float32)
+
+    total = jnp.zeros((h, w), jnp.float32)
+    for d in range(dirs_count):
+        angle = 2.0 * PI * (cls + base_angle + d / dirs_count)
+        dir_uv = (
+            radius_px[..., None]
+            * jnp.stack([jnp.cos(angle), jnp.sin(angle)], -1) / size
+        )
+        n_proj_len, n_angle = _arc_terms(
+            uv, depth_c, camera_pos, w0, cam_n, dir_uv, params
+        )
+        # all 16 steps' bilinear depth taps in one kernel call
+        fr = (jnp.arange(1, N_STEPS + 1, dtype=jnp.float32)
+              / N_STEPS)[:, None, None]
+        off_x = fr * (dir_uv[..., 0] * W)[None]
+        off_y = fr * (dir_uv[..., 1] * H)[None]
+        sds = window_gather_bilinear_multi(
+            depth_half, off_y, off_x, radius=N_STEPS,
+            interpret=interpret, row0=row0,
+        )  # (16, h, w)
+
+        h_cos = jnp.full((h, w), -1.0)
+        prev_z = camera_pos[..., 2]
+        alive = jnp.ones((h, w), bool)
+        for i in range(1, N_STEPS + 1):
+            tc = uv + (float(i) / N_STEPS) * dir_uv
+            sp = reconstruct_view_vec(tc, sds[i - 1], params.fovy,
+                                      params.aspect, params.znear,
+                                      params.zfar)
+            alive = alive & ~(sp[..., 2] > prev_z + MAX_THICKNESS)
+            prev_z = jnp.where(alive, sp[..., 2], prev_z)
+            off = sp - camera_pos
+            s_cos = (w0 * off).sum(-1) / jnp.linalg.norm(
+                off, axis=-1).clip(1e-20)
+            h_cos = jnp.where(alive, jnp.maximum(h_cos, s_cos), h_cos)
+        total = total + _arc_integral(h_cos, n_proj_len, n_angle)
+
+    ao = 2.0 * total / dirs_count
+    return jnp.where(depth_c >= 1.0, 0.0, ao)
+
+
+@register("gtao_main_dense")
 def gtao_main_dense(depth_half, normal_half, params: GTAOParams,
                     base_angle, dirs_count: int = 1, row0=None,
                     band_h: "int | None" = None):

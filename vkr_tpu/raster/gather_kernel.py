@@ -189,6 +189,107 @@ def window_gather_bilinear(img, off_y, off_x, *, radius: int = 16,
     return out[..., 0] if squeeze else out
 
 
+def _window_gather_multi_kernel(
+    img_hbm,     # (1, Hp, Wp) f32, pre-padded
+    off_y_ref,   # (K, 8, 128) f32 offsets in pixels
+    off_x_ref,
+    out_ref,     # (K, 8, 128) f32
+    win,         # VMEM scratch (1, WR, 384)
+    sem,
+    *,
+    radius: int,
+    win_rows: int,
+    k_sets: int,
+):
+    """K offset sets against ONE single-channel image, sharing the
+    per-tile window DMA (the GTAO march: 16 collinear steps sample the
+    same depth image — re-DMAing the window per step would dominate)."""
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        img_hbm.at[:, pl.ds(ty * TILE_H, win_rows),
+                   pl.ds(tx * TILE_W, 3 * TILE_W)],
+        win,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    r = float(radius)
+    row_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_H, TILE_W), 0
+    ).astype(jnp.float32)
+    n_blocks = win_rows // 8
+    for k in range(k_sets):
+        off_y = jnp.clip(off_y_ref[k], -r, r)
+        off_x = jnp.clip(off_x_ref[k], -r, r)
+        wy = jnp.clip(row_iota + radius + off_y, 0.0, win_rows - 1.001)
+        y0 = wy.astype(jnp.int32)
+        fy = wy - y0.astype(jnp.float32)
+        sx = jnp.floor(off_x)
+        fx = off_x - sx
+        s_int = sx.astype(jnp.int32)
+        out = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        v_prev = None
+        for s in range(-radius, radius + 2):
+            sel = s_int == (s - 1)
+            cs = win[0, :, _COL_PAD + s : _COL_PAD + s + TILE_W]
+            v_cur = _gather_rows(cs, y0, fy, n_blocks)
+            if v_prev is not None:
+                out = jnp.where(sel, v_prev + (v_cur - v_prev) * fx,
+                                out)
+            v_prev = v_cur
+        out_ref[k] = out
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "interpret"))
+def window_gather_bilinear_multi(img, off_y, off_x, *, radius: int = 16,
+                                 interpret: bool = False, row0=None):
+    """K bilinear samples per pixel of ONE (H, W) image at
+    (y + off_y[k], x + off_x[k]); offsets clamped to +-radius,
+    clamp-to-edge. off_*: (K, h, w). Returns (K, h, w) f32.
+
+    One kernel call shares the per-tile window DMA across all K sets
+    (vs K separate window_gather_bilinear calls). row0: band mode as in
+    window_gather_bilinear."""
+    k_sets, h, w = off_y.shape
+    tiles_y = -(-h // TILE_H)
+    tiles_x = -(-w // TILE_W)
+    win_rows = ((TILE_H + 2 * radius + 1 + 7) // 8) * 8
+    img_p = _pad_image(img.astype(jnp.float32), radius)[None]
+    hp = tiles_y * TILE_H
+    wp = tiles_x * TILE_W
+    if row0 is not None:
+        img_p = jax.lax.dynamic_slice(
+            img_p, (0, row0, 0),
+            (1, hp + 2 * radius + TILE_H, img_p.shape[2]))
+
+    def pad3(a):
+        return jnp.pad(a.astype(jnp.float32),
+                       ((0, 0), (0, hp - h), (0, wp - w)))
+
+    out = pl.pallas_call(
+        functools.partial(_window_gather_multi_kernel, radius=radius,
+                          win_rows=win_rows, k_sets=k_sets),
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((k_sets, TILE_H, TILE_W), lambda i, j: (0, i, j)),
+            pl.BlockSpec((k_sets, TILE_H, TILE_W), lambda i, j: (0, i, j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (k_sets, TILE_H, TILE_W), lambda i, j: (0, i, j)
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_sets, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, win_rows, 3 * TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(img_p, pad3(off_y), pad3(off_x))
+    return out[:, :h, :w]
+
+
 def window_gather_reference(img, off_y, off_x, radius: int = 16):
     """jnp oracle with identical clamp semantics (slow XLA gather)."""
     from vkr_tpu.passes.sampling import bilinear_sample
