@@ -147,6 +147,23 @@ def build_colonnade(
                 m,
             )
         )
+    # end caps: the reference benches a fully-enclosed Sponza hall
+    # (main.cpp:217-218) — open ends leak background and flatten
+    # raster/shading cost (bench coverage 0.58 before)
+    for xs in (-hall_l, hall_l):
+        m = np.eye(4, dtype=np.float32)
+        geoms.append(
+            (
+                np.array([[xs, 0, -6], [xs, 0, 6],
+                          [xs, 6, 6], [xs, 6, -6]], np.float32),
+                np.tile(np.array([[-np.sign(xs), 0, 0]], np.float32),
+                        (4, 1)),
+                np.array([[0, 0], [4, 0], [4, 2], [0, 2]], np.float32),
+                np.array([0, 1, 2, 0, 2, 3], np.uint32),
+                2,
+                m,
+            )
+        )
 
     for i in range(columns):
         x = -hall_l * 0.8 + i * (1.6 * hall_l / max(columns - 1, 1))
