@@ -40,7 +40,9 @@ from vkr_tpu.raster import (
 from vkr_tpu.raster.texture import (
     TextureArray,
     pack_texture_array,
+    pack_texture_array_native,
     quad_derivative_lod,
+    quad_derivative_lod_native,
     sample_alpha_sparse,
     sample_material_pair,
     sample_texture_array,
@@ -70,6 +72,16 @@ class SceneDevice(NamedTuple):
     tex: TextureArray
 
 
+def _lod_for(tex, uv, albedo_idx):
+    """Mip LOD per pixel. Uniform mode: one static base size; native
+    mode: each pixel's own texture dims (the reference's per-texture()
+    hardware derivative, scene.cpp:104-161)."""
+    if tex.meta is None:
+        return quad_derivative_lod(uv, tex.sizes[0])
+    wh = small_lookup(tex.base_wh, jnp.maximum(albedo_idx, 0))
+    return quad_derivative_lod_native(uv, wh)
+
+
 def upload_scene(scene: CompiledScene) -> SceneDevice:
     """device_put analog of the reference's staged scene upload
     (scene.cpp:270-303 + TransferCmdPool)."""
@@ -88,9 +100,15 @@ def upload_scene(scene: CompiledScene) -> SceneDevice:
         tri_masked_mat=jnp.asarray(scene.tri_material[mask]),
         mat_albedo_tex=jnp.asarray(scene.mat_albedo_tex),
         mat_mr_tex=jnp.asarray(scene.mat_mr_tex),
-        tex=pack_texture_array(scene.tex_mips, scene.tex_wrap,
-                               mat_albedo_tex=scene.mat_albedo_tex,
-                               mat_mr_tex=scene.mat_mr_tex),
+        tex=(pack_texture_array_native(
+                 list(scene.tex_images), scene.tex_wrap,
+                 mat_albedo_tex=scene.mat_albedo_tex,
+                 mat_mr_tex=scene.mat_mr_tex)
+             if getattr(scene, "tex_images", None) is not None
+             else pack_texture_array(
+                 scene.tex_mips, scene.tex_wrap,
+                 mat_albedo_tex=scene.mat_albedo_tex,
+                 mat_mr_tex=scene.mat_mr_tex)),
     )
 
 
@@ -232,9 +250,9 @@ def render_gbuffer(
         # Alpha test the masked layer (discard iff sampled alpha == 0,
         # opaque_taa.frag:32-34), then depth-merge with the opaque layer.
         # Alpha-only 4-byte quad rows: 2.4x cheaper than a full sample.
-        lod_b = quad_derivative_lod(attrs_b["uv"], scene.tex.sizes[0])
         aidx_b = small_lookup(scene.mat_albedo_tex,
                               jnp.maximum(attrs_b["mat_id"], 0))
+        lod_b = _lod_for(scene.tex, attrs_b["uv"], aidx_b)
         alpha_b = jnp.where(
             aidx_b >= 0,
             sample_alpha_sparse(scene.tex, jnp.maximum(aidx_b, 0),
@@ -260,10 +278,9 @@ def render_gbuffer(
                 vis_b2, scene.tri_masked, scene.tri_masked_mat,
                 scene.uvs, world_n, prev_clip, **akw,
             )
-            lod_b2 = quad_derivative_lod(attrs_b2["uv"],
-                                         scene.tex.sizes[0])
             aidx_b2 = small_lookup(scene.mat_albedo_tex,
                                    jnp.maximum(attrs_b2["mat_id"], 0))
+            lod_b2 = _lod_for(scene.tex, attrs_b2["uv"], aidx_b2)
             alpha_b2 = jnp.where(
                 aidx_b2 >= 0,
                 sample_alpha_sparse(scene.tex, jnp.maximum(aidx_b2, 0),
@@ -305,7 +322,10 @@ def render_gbuffer(
 
     mat_id = jnp.where(mask, attrs["mat_id"], -1)
     uv = attrs["uv"]
-    lod = quad_derivative_lod(uv, scene.tex.sizes[0])
+    lod = _lod_for(scene.tex, uv, jnp.where(
+        mat_id >= 0,
+        small_lookup(scene.mat_albedo_tex, jnp.maximum(mat_id, 0)), -1,
+    ))
 
     aidx = jnp.where(
         mat_id >= 0,

@@ -71,23 +71,35 @@ class TextureArray:
     pair_quad: Optional[jnp.ndarray] = None   # (NP * FLAT, 32) u8
     mat_pair: Optional[jnp.ndarray] = None    # (M,) i32, -1 = no pair
     pair_wrap: Optional[jnp.ndarray] = None   # (NP,) i32
+    # ---- native-size mode (meta is not None): per-texture resolutions
+    # and aspect preserved (scene.cpp:104-161); offsets/sizes/flat_len
+    # above are unused. meta rows are [abs_offset, w, h, wrap] per
+    # (texture, level), levels beyond a texture's chain repeating its
+    # 1x1 tail so per-pixel level clamps are free.
+    meta: Optional[jnp.ndarray] = None        # (NT * L, 4) i32
+    pair_meta: Optional[jnp.ndarray] = None   # (NP * L, 4) i32
+    base_wh: Optional[jnp.ndarray] = None     # (NT, 2) i32 level-0 dims
+    n_levels: int = 0                         # static: L (native mode)
 
     def tree_flatten(self):
         return (
             self.flat, self.flat_quad, self.wrap, self.alpha_quad,
             self.pair_quad, self.mat_pair, self.pair_wrap,
-        ), (self.offsets, self.sizes, self.flat_len, self.uniform_wrap)
+            self.meta, self.pair_meta, self.base_wh,
+        ), (self.offsets, self.sizes, self.flat_len, self.uniform_wrap,
+            self.n_levels)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (flat, flat_quad, wrap, alpha_quad, pair_quad, mat_pair,
-         pair_wrap) = children
-        offsets, sizes, flat_len, uniform_wrap = aux
+         pair_wrap, meta, pair_meta, base_wh) = children
+        offsets, sizes, flat_len, uniform_wrap, n_levels = aux
         return cls(flat=flat, flat_quad=flat_quad, wrap=wrap,
                    offsets=offsets, sizes=sizes, flat_len=flat_len,
                    uniform_wrap=uniform_wrap, alpha_quad=alpha_quad,
                    pair_quad=pair_quad, mat_pair=mat_pair,
-                   pair_wrap=pair_wrap)
+                   pair_wrap=pair_wrap, meta=meta, pair_meta=pair_meta,
+                   base_wh=base_wh, n_levels=n_levels)
 
 
 def _quad_neighbors_batch(imgs, repeat_mask):
@@ -235,6 +247,190 @@ def pack_texture_array(
     )
 
 
+def _mip_chain_native(img, repeat: bool):
+    """Per-texture mip chain at native aspect: 2x2 box filter halving
+    each dim (odd dims edge-pad to even first) down to 1x1."""
+    mips = [np.asarray(img, np.uint8)]
+    cur = mips[0]
+    while cur.shape[0] > 1 or cur.shape[1] > 1:
+        h, w = cur.shape[:2]
+        if h & 1:
+            cur = np.concatenate([cur, cur[-1:]], axis=0)
+            h += 1
+        if w & 1:
+            cur = np.concatenate([cur, cur[:, -1:]], axis=1)
+            w += 1
+        h2, w2 = max(h // 2, 1), max(w // 2, 1)
+        cur = ((cur.astype(np.uint16).reshape(h2, 2, w2, 2, 4)
+                .sum(axis=(1, 3)) + 2) // 4).astype(np.uint8)
+        mips.append(cur)
+    return mips
+
+
+def _quad_neighbors_native(img, repeat: bool):
+    """Wrap-aware +x/+y/+xy neighbors of one native-size level."""
+    if repeat:
+        xr = np.roll(img, -1, axis=1)
+        yd = np.roll(img, -1, axis=0)
+        return xr, yd, np.roll(xr, -1, axis=0)
+    xr = np.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    yd = np.concatenate([img[1:], img[-1:]], axis=0)
+    return xr, yd, np.concatenate([xr[1:], xr[-1:]], axis=0)
+
+
+def _pack_texture_arrays_native_np(images, wrap_np, mat_albedo_tex,
+                                   mat_mr_tex):
+    """Native-size packing body (disk-cached like the uniform path):
+    each texture's mip chain packs contiguously into global flat/quad/
+    alpha tables; (texture, level) geometry goes into a meta table so
+    sampling needs ONE extra 16-byte meta gather per tap."""
+    from vkr_tpu.scene.gltf import WRAP_REPEAT as _REP
+
+    nt = len(images)
+    chains = []
+    for t in range(nt):
+        rep = bool(wrap_np[t] == _REP) if t < len(wrap_np) else False
+        chains.append(_mip_chain_native(images[t], rep))
+    n_levels = max(len(c) for c in chains)
+
+    total = sum(m.shape[0] * m.shape[1] for c in chains for m in c)
+    flat = np.zeros((total, 4), np.uint8)
+    quad = np.zeros((total, 16), np.uint8)
+    meta = np.zeros((nt * n_levels, 4), np.int64)
+    base_wh = np.zeros((nt, 2), np.int64)
+    off = 0
+    for t, chain in enumerate(chains):
+        rep = bool(wrap_np[t] == _REP) if t < len(wrap_np) else False
+        base_wh[t] = (chain[0].shape[1], chain[0].shape[0])
+        for l in range(n_levels):
+            m = chain[min(l, len(chain) - 1)]
+            h, w = m.shape[:2]
+            if l < len(chain):
+                xr, yd, yxd = _quad_neighbors_native(m, rep)
+                n = h * w
+                flat[off : off + n] = m.reshape(n, 4)
+                quad[off : off + n] = np.concatenate(
+                    [m, xr, yd, yxd], axis=-1).reshape(n, 16)
+                meta[t * n_levels + l] = (
+                    off, w, h, wrap_np[t] if t < len(wrap_np) else 0)
+                off += n
+            else:
+                # clamp: repeat the 1x1 tail's meta row
+                meta[t * n_levels + l] = meta[t * n_levels + l - 1]
+    alpha = quad[:, 3::4].copy()
+
+    out = {
+        "flat": flat,
+        "alpha": alpha,
+        "meta": meta.astype(np.int32),
+        "base_wh": base_wh.astype(np.int32),
+        "n_levels": np.int64(n_levels),
+    }
+    have_pair = False
+    if mat_albedo_tex is not None and mat_mr_tex is not None:
+        at = np.asarray(mat_albedo_tex, np.int64)
+        mt = np.asarray(mat_mr_tex, np.int64)
+
+        def pairable(a, b):
+            if a < 0 or b < 0:
+                return a >= 0 or b >= 0
+            return (wrap_np[a] == wrap_np[b]
+                    and images[a].shape[:2] == images[b].shape[:2])
+
+        pairs = {}
+        mat_pair_np = np.full(len(at), -1, np.int64)
+        ok_all = True
+        for mi, (a, b) in enumerate(zip(at, mt)):
+            if a < 0 and b < 0:
+                continue
+            if not pairable(a, b):
+                ok_all = False
+                continue
+            key = (int(a), int(b))
+            if key not in pairs:
+                pairs[key] = len(pairs)
+            mat_pair_np[mi] = pairs[key]
+        if not ok_all:
+            # all-or-nothing like the uniform path: a half-paired
+            # material set would route unpairable materials through
+            # pair slot 0 (wrong textures) — fall back entirely
+            pairs = {}
+        if pairs:
+            # pair rows zip the two textures' quad rows level by level
+            pair_rows = []
+            pair_meta = np.zeros((len(pairs) * n_levels, 4), np.int64)
+            poff = 0
+            for (a, b), pi in sorted(pairs.items(), key=lambda kv: kv[1]):
+                src = a if a >= 0 else b
+                chain = chains[src]
+                for l in range(n_levels):
+                    li = min(l, len(chain) - 1)
+                    h, w = chain[li].shape[:2]
+                    n = h * w
+                    if l < len(chain):
+                        row = np.zeros((n, 32), np.uint8)
+                        for tex, base in ((a, 0), (b, 16)):
+                            if tex >= 0:
+                                toff = int(meta[tex * n_levels + li, 0])
+                                row[:, base : base + 16] =                                     quad[toff : toff + n]
+                        pair_rows.append(row)
+                        pair_meta[pi * n_levels + l] = (
+                            poff, w, h,
+                            wrap_np[src] if src < len(wrap_np) else 0)
+                        poff += n
+                    else:
+                        pair_meta[pi * n_levels + l] =                             pair_meta[pi * n_levels + l - 1]
+            out["pair_quad"] = np.concatenate(pair_rows, axis=0)
+            out["pair_meta"] = pair_meta.astype(np.int32)
+            out["mat_pair"] = mat_pair_np.astype(np.int32)
+            have_pair = True
+        if not ok_all or not pairs:
+            out["flat_quad"] = quad
+        elif not have_pair:
+            out["flat_quad"] = quad
+    else:
+        out["flat_quad"] = quad
+    return out
+
+
+def pack_texture_array_native(
+    images, wrap, mat_albedo_tex=None, mat_mr_tex=None
+) -> TextureArray:
+    """Native-size packing entry: per-texture resolutions and aspect
+    preserved (scene.cpp:104-161). images: list of (h, w, 4) u8."""
+    from vkr_tpu.core.diskcache import cached_npz, content_key
+
+    wrap_np = np.asarray(wrap, np.int32)
+    at = None if mat_albedo_tex is None else np.asarray(
+        mat_albedo_tex, np.int32)
+    mt = None if mat_mr_tex is None else np.asarray(mat_mr_tex, np.int32)
+    key = content_key(
+        "texpack-native", tuple(im.shape for im in images),
+        *[np.asarray(im) for im in images], wrap_np, at, mt)
+    packed = cached_npz(key, lambda: _pack_texture_arrays_native_np(
+        images, wrap_np, at, mt))
+
+    uniq = np.unique(wrap_np) if len(wrap_np) else np.asarray([0])
+    opt = lambda k: (jnp.asarray(packed[k]) if k in packed else None)
+    return TextureArray(
+        flat=jnp.asarray(packed["flat"]),
+        flat_quad=opt("flat_quad"),
+        wrap=jnp.asarray(wrap_np, jnp.int32),
+        offsets=(0,),
+        sizes=(int(np.asarray(packed["base_wh"])[:, 0].max()),),
+        flat_len=0,
+        uniform_wrap=int(uniq[0]) if len(uniq) == 1 else None,
+        alpha_quad=jnp.asarray(packed["alpha"]),
+        pair_quad=opt("pair_quad"),
+        mat_pair=opt("mat_pair"),
+        pair_wrap=None,
+        meta=jnp.asarray(packed["meta"]),
+        pair_meta=opt("pair_meta"),
+        base_wh=jnp.asarray(packed["base_wh"]),
+        n_levels=int(packed["n_levels"]),
+    )
+
+
 def _level_lookup(table, level):
     """Tiny-static-table select by per-pixel level (indexing with a pixel-
     sized index array lowers to a scalarized gather)."""
@@ -296,6 +492,49 @@ def _tap_setup(tex: TextureArray, uv, level, wrap_mode):
     return o + yi * s + xi, fx, fy
 
 
+def _tap_setup_native(meta_rows, uv):
+    """Native-mode bilinear tap math from gathered (texture, level) meta
+    rows [abs_offset, w, h, wrap]: returns (ABSOLUTE texel row index,
+    fx, fy)."""
+    off = meta_rows[..., 0]
+    w = meta_rows[..., 1]
+    h = meta_rows[..., 2]
+    wrap_mode = meta_rows[..., 3]
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    x = uv[..., 0] * wf - 0.5
+    y = uv[..., 1] * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    fx = jnp.where((wrap_mode == WRAP_CLAMP) & (x0 < 0), 0.0, fx)[..., None]
+    fy = jnp.where((wrap_mode == WRAP_CLAMP) & (y0 < 0), 0.0, fy)[..., None]
+    xi = _wrap_coord(x0, w, wrap_mode)
+    yi = _wrap_coord(y0, h, wrap_mode)
+    return off + yi * w + xi, fx, fy
+
+
+def quad_derivative_lod_native(uv, wh):
+    """quad_derivative_lod with PER-PIXEL texture dims (native-size
+    mode): wh (H, W, 2) i32 level-0 dims of each pixel's texture."""
+    h, w, _ = uv.shape
+    uv_x = uv.reshape(h, w // 2, 2, 2)
+    dx = (uv_x[:, :, 1] - uv_x[:, :, 0])
+    dx = jnp.repeat(dx, 2, axis=1).reshape(h, w, 2)
+    uv_y = uv.reshape(h // 2, 2, w, 2)
+    dy = (uv_y[:, 1] - uv_y[:, 0])
+    dy = jnp.repeat(dy[:, None], 2, axis=1).reshape(h, w, 2)
+    scale = wh.astype(jnp.float32)
+    rho = jnp.maximum(
+        jnp.linalg.norm(dx * scale, axis=-1),
+        jnp.linalg.norm(dy * scale, axis=-1),
+    )
+    return jnp.log2(jnp.maximum(rho, 1e-12))
+
+
 def _bilerp(rows, fx, fy, base: int):
     t00 = rows[..., base : base + 4]
     t10 = rows[..., base + 4 : base + 8]
@@ -312,8 +551,14 @@ def _sample_level(tex: TextureArray, tex_idx, uv, level, wrap_mode):
 
     tex_idx/(H,W) i32, uv/(H,W,2), level/(H,W) i32 -> (H, W, 4) f32 [0,1].
     """
-    rel, fx, fy = _tap_setup(tex, uv, level, wrap_mode)
-    idx = tex_idx * tex.flat_len + rel
+    if tex.meta is not None:
+        mrow = jnp.take(
+            tex.meta,
+            jnp.maximum(tex_idx, 0) * tex.n_levels + level, axis=0)
+        idx, fx, fy = _tap_setup_native(mrow, uv)
+    else:
+        rel, fx, fy = _tap_setup(tex, uv, level, wrap_mode)
+        idx = tex_idx * tex.flat_len + rel
     rows = jnp.take(tex.flat_quad, idx, axis=0).astype(jnp.float32) / 255.0
     return _bilerp(rows, fx, fy, 0)
 
@@ -321,14 +566,20 @@ def _sample_level(tex: TextureArray, tex_idx, uv, level, wrap_mode):
 def sample_alpha(tex: TextureArray, tex_idx, uv, lod):
     """Bilinear ALPHA tap (4-byte rows) for the alpha-MASK discard test
     (opaque_taa.frag:32-34) — 2.4x cheaper than a full quad gather."""
-    n_levels = len(tex.sizes)
+    n_levels = tex.n_levels if tex.meta is not None else len(tex.sizes)
     if tex.uniform_wrap is not None:
         wrap_mode = jnp.full(tex_idx.shape, tex.uniform_wrap, jnp.int32)
     else:
         wrap_mode = small_lookup(tex.wrap, jnp.maximum(tex_idx, 0))
     level = jnp.round(jnp.clip(lod, 0.0, n_levels - 1)).astype(jnp.int32)
-    rel, fx, fy = _tap_setup(tex, uv, level, wrap_mode)
-    idx = tex_idx * tex.flat_len + rel
+    if tex.meta is not None:
+        mrow = jnp.take(
+            tex.meta,
+            jnp.maximum(tex_idx, 0) * tex.n_levels + level, axis=0)
+        idx, fx, fy = _tap_setup_native(mrow, uv)
+    else:
+        rel, fx, fy = _tap_setup(tex, uv, level, wrap_mode)
+        idx = tex_idx * tex.flat_len + rel
     rows = jnp.take(tex.alpha_quad, idx, axis=0).astype(jnp.float32) / 255.0
     a00, a10, a01, a11 = (rows[..., 0], rows[..., 1], rows[..., 2],
                           rows[..., 3])
@@ -357,14 +608,20 @@ def sample_alpha_sparse(tex: TextureArray, tex_idx, uv, lod, active,
     Returns (H, W) f32 alpha; pixels outside active tiles read 0.
     """
     h, w = tex_idx.shape
-    n_levels = len(tex.sizes)
+    n_levels = tex.n_levels if tex.meta is not None else len(tex.sizes)
     if tex.uniform_wrap is not None:
         wrap_mode = jnp.full(tex_idx.shape, tex.uniform_wrap, jnp.int32)
     else:
         wrap_mode = small_lookup(tex.wrap, jnp.maximum(tex_idx, 0))
     level = jnp.round(jnp.clip(lod, 0.0, n_levels - 1)).astype(jnp.int32)
-    rel, fx, fy = _tap_setup(tex, uv, level, wrap_mode)
-    idx = tex_idx * tex.flat_len + rel  # (H, W) i32
+    if tex.meta is not None:
+        mrow = jnp.take(
+            tex.meta,
+            jnp.maximum(tex_idx, 0) * tex.n_levels + level, axis=0)
+        idx, fx, fy = _tap_setup_native(mrow, uv)
+    else:
+        rel, fx, fy = _tap_setup(tex, uv, level, wrap_mode)
+        idx = tex_idx * tex.flat_len + rel  # (H, W) i32
 
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
@@ -426,16 +683,21 @@ def sample_material_pair(tex: TextureArray, mat_id, uv, lod):
     Requires tex.pair_quad (pack_texture_array with material tables and
     wrap-consistent pairs); caller masks halves whose texture is absent.
     """
-    n_levels = len(tex.sizes)
+    n_levels = tex.n_levels if tex.meta is not None else len(tex.sizes)
     pidx = small_lookup(tex.mat_pair, jnp.maximum(mat_id, 0))
     pidx0 = jnp.maximum(pidx, 0)
-    if tex.uniform_wrap is not None:
-        wrap_mode = jnp.full(mat_id.shape, tex.uniform_wrap, jnp.int32)
-    else:
-        wrap_mode = small_lookup(tex.pair_wrap, pidx0)
     level = jnp.round(jnp.clip(lod, 0.0, n_levels - 1)).astype(jnp.int32)
-    rel, fx, fy = _tap_setup(tex, uv, level, wrap_mode)
-    idx = pidx0 * tex.flat_len + rel
+    if tex.pair_meta is not None:
+        prow = jnp.take(tex.pair_meta, pidx0 * n_levels + level, axis=0)
+        idx, fx, fy = _tap_setup_native(prow, uv)
+    else:
+        if tex.uniform_wrap is not None:
+            wrap_mode = jnp.full(mat_id.shape, tex.uniform_wrap,
+                                 jnp.int32)
+        else:
+            wrap_mode = small_lookup(tex.pair_wrap, pidx0)
+        rel, fx, fy = _tap_setup(tex, uv, level, wrap_mode)
+        idx = pidx0 * tex.flat_len + rel
     rows = jnp.take(tex.pair_quad, idx, axis=0).astype(jnp.float32) / 255.0
     return _bilerp(rows, fx, fy, 0), _bilerp(rows, fx, fy, 16)
 
@@ -455,7 +717,7 @@ def sample_texture_array(
     Returns (H, W, 4) f32 in [0, 1] — raw stored values (sRGB decode is the
     caller's job, matching the separate SRGB-format semantics).
     """
-    n_levels = len(tex.sizes)
+    n_levels = tex.n_levels if tex.meta is not None else len(tex.sizes)
     # Per-pixel wrap via select chain when textures differ (a 2M-index
     # gather from even a tiny table is ~12 ms on TPU).
     if tex.uniform_wrap is not None:
@@ -481,6 +743,20 @@ def sample_texture_array(
 
 
 def _sample_level_nearest(tex: TextureArray, tex_idx, uv, level, wrap_mode):
+    if tex.meta is not None:
+        mrow = jnp.take(
+            tex.meta,
+            jnp.maximum(tex_idx, 0) * tex.n_levels + level, axis=0)
+        off, w, h, wm = (mrow[..., 0], mrow[..., 1], mrow[..., 2],
+                         mrow[..., 3])
+        xi = _wrap_coord(
+            jnp.floor(uv[..., 0] * w.astype(jnp.float32)).astype(
+                jnp.int32), w, wm)
+        yi = _wrap_coord(
+            jnp.floor(uv[..., 1] * h.astype(jnp.float32)).astype(
+                jnp.int32), h, wm)
+        idx = off + yi * w + xi
+        return jnp.take(tex.flat, idx, axis=0).astype(jnp.float32) / 255.0
     s = _level_lookup(tex.sizes, level)
     o = _level_lookup(tex.offsets, level)
     sf = s.astype(jnp.float32)

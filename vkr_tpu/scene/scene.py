@@ -41,6 +41,11 @@ class CompiledScene(NamedTuple):
     # Texture array mip pyramid: tuple of (NT, S>>l, S>>l, 4) u8
     tex_mips: Tuple[np.ndarray, ...]
     tex_wrap: np.ndarray       # (NT,) i32 (gltf.WRAP_*)
+    # native-size mode (compile_scene(native_sizes=True)): per-texture
+    # images at their ORIGINAL resolutions/aspect (scene.cpp:104-161
+    # samples each texture at native size); tex_mips then holds the
+    # uniform fallback used only when packing rejects the native set
+    tex_images: "tuple | None" = None
 
     @property
     def num_triangles(self) -> int:
@@ -87,8 +92,13 @@ def _resize_rgba(img: np.ndarray, size: int) -> np.ndarray:
 
 
 def compile_scene(
-    scene: _gltf.GltfScene, tex_size: int = 256
+    scene: _gltf.GltfScene, tex_size: int = 256,
+    native_sizes: bool = False,
 ) -> CompiledScene:
+    """tex_size: uniform square resize target — or, with
+    native_sizes=True, the MAX edge (larger textures downscale by
+    integer factors, aspect preserved; everything else keeps its
+    original resolution, like the reference's per-texture images)."""
     positions, normals, uvs = [], [], []
     tri_indices, tri_material, vert_transform = [], [], []
     transforms, normal_mats = [], []
@@ -120,6 +130,27 @@ def compile_scene(
     n_tex = len(scene.texture_image)
     tex_array = np.zeros((max(n_tex, 1), tex_size, tex_size, 4), np.uint8)
     tex_array[..., 3] = 255
+    tex_images = None
+    if native_sizes:
+        tex_images = []
+        for t in range(max(n_tex, 1)):
+            img_id = (scene.texture_image[t]
+                      if t < len(scene.texture_image) else -1)
+            if 0 <= img_id < len(scene.images):
+                img = np.asarray(scene.images[img_id], np.uint8)
+                # integer-factor downscale to respect the max edge,
+                # aspect preserved
+                f = -(-max(img.shape[0], img.shape[1]) // tex_size)
+                if f > 1:
+                    h2 = max(img.shape[0] // f, 1)
+                    w2 = max(img.shape[1] // f, 1)
+                    img = img[: h2 * f, : w2 * f].reshape(
+                        h2, f, w2, f, 4).astype(np.uint32).mean(
+                        axis=(1, 3)).astype(np.uint8)
+            else:
+                img = np.full((1, 1, 4), 255, np.uint8)
+            tex_images.append(np.ascontiguousarray(img))
+        tex_images = tuple(tex_images)
     for t, img_id in enumerate(scene.texture_image):
         if 0 <= img_id < len(scene.images):
             tex_array[t] = _resize_rgba(scene.images[img_id], tex_size)
@@ -154,6 +185,7 @@ def compile_scene(
         ),
         tex_mips=build_mip_pyramid(tex_array),
         tex_wrap=np.asarray(scene.texture_wrap or [0], np.int32),
+        tex_images=tex_images,
     )
 
 
