@@ -189,6 +189,8 @@ def compile_scene(
     )
 
 
-def load_scene(path: str, tex_size: int = 256) -> CompiledScene:
+def load_scene(path: str, tex_size: int = 256,
+               native_sizes: bool = False) -> CompiledScene:
     """load_tinygltf_scene analog (scene.cpp:330-360)."""
-    return compile_scene(_gltf.load_gltf(path), tex_size=tex_size)
+    return compile_scene(_gltf.load_gltf(path), tex_size=tex_size,
+                         native_sizes=native_sizes)

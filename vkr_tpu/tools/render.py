@@ -36,14 +36,16 @@ SCENE_PRESETS = {
 }
 
 
-def load_preset(name: str, tex_size: int, columns: int = 8):
+def load_preset(name: str, tex_size: int, columns: int = 8,
+                native_sizes: bool = False):
     from vkr_tpu.scene import colonnade_scene, load_scene
 
     preset = SCENE_PRESETS.get(name)
     if preset is None:
         preset = {"path": name, "eye": (0, 1, -3), "center": (0, 0, 0)}
     if "path" in preset:
-        scene = load_scene(preset["path"], tex_size=tex_size)
+        scene = load_scene(preset["path"], tex_size=tex_size,
+                           native_sizes=native_sizes)
     else:
         scene = colonnade_scene(columns=columns, tessellation=24,
                                 tex_size=tex_size)
@@ -57,6 +59,9 @@ def main(argv=None):
     parser.add_argument("--width", type=int, default=512)
     parser.add_argument("--height", type=int, default=512)
     parser.add_argument("--tex-size", type=int, default=256)
+    parser.add_argument("--native-sizes", action="store_true",
+                        help="per-texture native resolution/aspect "
+                             "(scene.cpp:104-161 parity mode)")
     parser.add_argument("--lut-size", type=int, default=256)
     parser.add_argument("--frames", type=int, default=1)
     parser.add_argument("--out", default="captures/frame.png")
@@ -107,7 +112,7 @@ def main(argv=None):
                                          max_iterations=args.ssr_iters)
         )
 
-    scene_cpu, preset = load_preset(args.scene, args.tex_size)
+    scene_cpu, preset = load_preset(args.scene, args.tex_size, native_sizes=args.native_sizes)
     print(f"scene: {scene_cpu.num_triangles} triangles, "
           f"{len(scene_cpu.positions)} vertices")
     scene = upload_scene(scene_cpu)
