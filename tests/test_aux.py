@@ -148,7 +148,7 @@ class TestRegistryAndGraph:
         import vkr_tpu.frame  # noqa: F401
         from vkr_tpu.passes import gtao, shading, taa
 
-        assert registry.get("gtao_main") is gtao.gtao_main_dense
+        assert registry.get("gtao_main") is gtao.gtao_main_window
         assert registry.get("defered_shading") is shading.deferred_shading
         assert registry.get("taa_resolve") is taa.taa_resolve
         for name in ("gbuf_opaque_taa", "sssr_trace", "sssr_filter",

@@ -427,7 +427,7 @@ def pack_texture_array_native(
         meta=jnp.asarray(packed["meta"]),
         pair_meta=opt("pair_meta"),
         base_wh=jnp.asarray(packed["base_wh"]),
-        n_levels=int(packed["n_levels"]),
+        n_levels=int(np.asarray(packed["n_levels"]).reshape(-1)[0]),
     )
 
 
