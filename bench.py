@@ -37,7 +37,8 @@ def main():
     from vkr_tpu.passes.gbuffer import upload_scene
     from vkr_tpu.scene import colonnade_scene
 
-    width, height = 1920, 1080
+    res = os.environ.get("BENCH_RES", "1920x1080")
+    width, height = (int(v) for v in res.split("x"))
     frames = int(os.environ.get("BENCH_FRAMES", "16"))
     ssr_iters = int(os.environ.get("BENCH_SSR_ITERS", "80"))
     scene_kind = os.environ.get("BENCH_SCENE", "sponza_tex")
