@@ -125,3 +125,70 @@ class TestPallasMarch:
             assert np.percentile(duv[both].max(-1), 90) < 2.0 / 64.0
         d_occ = np.abs(np.asarray(occ_a - occ_b))
         assert np.percentile(d_occ, 90) < 0.05
+
+
+class TestAnalyticGroundTruth:
+    """Analytic golden: hit positions derived from GEOMETRY, independent
+    of both march implementations (chips at the shared-misreading risk,
+    docs/GROUND_TRUTH.md). Mirror floor at y=0 with a back wall at z=3:
+    a floor pixel's mirror ray must hit the wall at the reflection of
+    the camera across the floor plane."""
+
+    def test_hits_match_geometric_reflection(self):
+        from vkr_tpu.mathlib import look_at, perspective
+        from vkr_tpu.passes import ssr as S
+        from vkr_tpu.passes.ssr_march import hierarchical_march_pallas
+
+        MAX_IT = 64
+        hiz, params = _scene(128, 128)
+        pyr, o, d, cam, w0 = _rays(hiz, params)
+        pos, hor, it = hierarchical_march_pallas(
+            list(hiz.mips), o, d, cam, w0, params, MAX_IT,
+            compact_frac=1.0, interpret=True,
+        )
+        pos = np.asarray(pos)
+        valid = np.asarray(it) <= MAX_IT
+
+        # analytic expectation, built only from the scene's geometry
+        view = look_at((0, 1.0, -2.0), (0, 0.8, 1.0), (0, -1, 0))
+        proj = perspective(np.radians(60), 1.0, 0.05, 80.0)
+        vp = np.asarray(proj @ view)
+        inv_view = np.linalg.inv(np.asarray(view))
+        cam_pos = inv_view[:3, 3]
+        h, w = pos.shape[:2]
+
+        from vkr_tpu.mathlib.projection import reconstruct_view_vec
+        from vkr_tpu.passes.sampling import screen_uv_grid
+
+        depth0 = np.asarray(hiz.mips[0])
+        uv = np.asarray(screen_uv_grid(h, w))
+        vv = np.asarray(reconstruct_view_vec(
+            jnp.asarray(uv), jnp.asarray(depth0), params.fovy,
+            params.aspect, params.znear, params.zfar))
+        wp_ = vv @ inv_view[:3, :3].T + cam_pos
+
+        # floor pixels away from edges, with valid hits
+        floor = (np.abs(wp_[..., 1]) < 0.05) & (depth0 < 1.0)
+        floor &= (wp_[..., 2] > -1.0) & (wp_[..., 2] < 2.0)
+        m = floor & valid
+        assert m.sum() > 200, m.sum()
+
+        # mirror the camera across y=0; the reflected sight line from
+        # the mirrored camera through the floor point hits the wall z=3
+        cam_m = cam_pos * np.array([1, -1, 1])
+        dirs = wp_ - cam_m
+        t_wall = (3.0 - cam_m[2]) / dirs[..., 2]
+        hit_w = cam_m + t_wall[..., None] * dirs
+        on_wall = (hit_w[..., 1] > 0.05) & (hit_w[..., 1] < 2.9)
+        m &= on_wall
+        assert m.sum() > 100, m.sum()
+
+        # project the analytic wall hit to screen uv
+        hp4 = np.concatenate([hit_w, np.ones(hit_w.shape[:-1] + (1,))],
+                             -1) @ vp.T
+        exp_uv = 0.5 * hp4[..., :2] / hp4[..., 3:4] + 0.5
+
+        err = np.abs(pos[..., :2] - exp_uv)[m].max(-1)
+        # sub-2-texel agreement for the bulk of floor pixels
+        assert np.percentile(err, 80) < 2.0 / w, np.percentile(err, 80)
+        assert np.median(err) < 1.0 / w
