@@ -105,6 +105,10 @@ class RenderConfig:
     enable_taa: bool = True
     enable_probes: bool = False
     show_ao_only: bool = False     # defered_shading.cpp:120-126 debug view
+    # DEFAULT_SAMPLER's trilinear mip filter for G-buffer texturing
+    # (samplers.hpp:36-50); default off — bilinear-at-rounded-mip
+    # halves the 32-byte pair gathers (tracked deviation, ROADMAP)
+    trilinear_textures: bool = False
     # Emulate the reference's quantized storage formats at pass boundaries
     # (unorm8 albedo, unorm16 oct normals, D24 depth) for PSNR parity.
     quantize_formats: bool = True

@@ -168,6 +168,7 @@ def render_frame(
             width=w, height=h, quantize=cfg.quantize_formats,
             use_pallas=use_pallas, interpret=interpret,
             mask_peel_layers=cfg.raster.mask_peel_layers,
+            trilinear=cfg.trilinear_textures,
         ),
     )
     return shade_frame(gbuf, state, cam, ssr_res, cfg,

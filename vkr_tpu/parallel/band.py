@@ -78,6 +78,7 @@ def render_frame_banded(
             use_pallas=use_pallas, interpret=interpret,
             mask_peel_layers=cfg.raster.mask_peel_layers,
             full_height=h, row_offset=row0,
+            trilinear=cfg.trilinear_textures,
         )
 
         # gather the band G-buffer into the full frame (ICI all_gather;

@@ -193,6 +193,7 @@ def render_gbuffer(
     mask_peel_layers: int = 1,
     full_height: int = None,
     row_offset=None,
+    trilinear: bool = False,
 ) -> GBuffer:
     """full_height/row_offset: band-viewport mode (multi-chip pixel-band
     sharding, parallel/band.py): render rows [row_offset,
@@ -337,7 +338,8 @@ def render_gbuffer(
     )
     if scene.tex.pair_quad is not None:
         # One 32-byte gather fetches BOTH material textures per pixel.
-        alb_s, mr_s = sample_material_pair(scene.tex, mat_id, uv, lod)
+        alb_s, mr_s = sample_material_pair(scene.tex, mat_id, uv, lod,
+                                           trilinear=trilinear)
         dflt_a = jnp.asarray(DEFAULT_ALBEDO, jnp.float32)[None, None, :]
         dflt_m = jnp.asarray(DEFAULT_MATERIAL, jnp.float32)[None, None, :]
         albedo = jnp.where((aidx >= 0)[..., None], alb_s, dflt_a)

@@ -676,30 +676,49 @@ def sample_alpha_sparse(tex: TextureArray, tex_idx, uv, lod, active,
     return out[:h, :w]
 
 
-def sample_material_pair(tex: TextureArray, mat_id, uv, lod):
+def sample_material_pair(tex: TextureArray, mat_id, uv, lod,
+                         trilinear: bool = False):
     """One 32-byte gather per pixel returning BOTH material textures:
     (albedo (H,W,4), metallic-roughness (H,W,4)) raw [0,1] values.
 
     Requires tex.pair_quad (pack_texture_array with material tables and
     wrap-consistent pairs); caller masks halves whose texture is absent.
-    """
+    trilinear: DEFAULT_SAMPLER's linear mip filter (samplers.hpp:36-50)
+    — doubles the pair gathers; bilinear-at-rounded-mip is the default
+    for gather cost (tracked deviation)."""
     n_levels = tex.n_levels if tex.meta is not None else len(tex.sizes)
     pidx = small_lookup(tex.mat_pair, jnp.maximum(mat_id, 0))
     pidx0 = jnp.maximum(pidx, 0)
-    level = jnp.round(jnp.clip(lod, 0.0, n_levels - 1)).astype(jnp.int32)
-    if tex.pair_meta is not None:
-        prow = jnp.take(tex.pair_meta, pidx0 * n_levels + level, axis=0)
-        idx, fx, fy = _tap_setup_native(prow, uv)
-    else:
+    lod = jnp.clip(lod, 0.0, n_levels - 1)
+    wrap_mode = None
+    if tex.pair_meta is None:
         if tex.uniform_wrap is not None:
             wrap_mode = jnp.full(mat_id.shape, tex.uniform_wrap,
                                  jnp.int32)
         else:
             wrap_mode = small_lookup(tex.pair_wrap, pidx0)
-        rel, fx, fy = _tap_setup(tex, uv, level, wrap_mode)
-        idx = pidx0 * tex.flat_len + rel
-    rows = jnp.take(tex.pair_quad, idx, axis=0).astype(jnp.float32) / 255.0
-    return _bilerp(rows, fx, fy, 0), _bilerp(rows, fx, fy, 16)
+
+    def fetch(level):
+        if tex.pair_meta is not None:
+            prow = jnp.take(tex.pair_meta, pidx0 * n_levels + level,
+                            axis=0)
+            idx, fx, fy = _tap_setup_native(prow, uv)
+        else:
+            rel, fx, fy = _tap_setup(tex, uv, level, wrap_mode)
+            idx = pidx0 * tex.flat_len + rel
+        rows = jnp.take(tex.pair_quad, idx,
+                        axis=0).astype(jnp.float32) / 255.0
+        return _bilerp(rows, fx, fy, 0), _bilerp(rows, fx, fy, 16)
+
+    if trilinear:
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, n_levels - 1)
+        frac = (lod - l0.astype(jnp.float32))[..., None]
+        a0, m0 = fetch(l0)
+        a1, m1 = fetch(l1)
+        return a0 + (a1 - a0) * frac, m0 + (m1 - m0) * frac
+    level = jnp.round(lod).astype(jnp.int32)
+    return fetch(level)
 
 
 def sample_texture_array(
