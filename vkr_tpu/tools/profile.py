@@ -111,8 +111,9 @@ def main(argv=None):
     gp = G.GTAOParams(normal_mat=nm, fovy=cfg.camera.fovy,
                       aspect=cfg.aspect, znear=cfg.camera.znear,
                       zfar=cfg.camera.zfar)
-    raw = bench("gtao_dense", jax.jit(
-        lambda d, nh, b: G.gtao_main_dense(d, nh, gp, b)),
+    raw = bench("gtao_window", jax.jit(
+        lambda d, nh, b: G.gtao_main_window(d, nh, gp, b,
+                                            interpret=interpret)),
         dh, hiz.normal_half, jnp.asarray(0.3))
     filt = bench("gtao_filter", jax.jit(
         lambda d, r: G.gtao_filter(d, r, cfg.camera.znear,
