@@ -180,3 +180,43 @@ def test_band_oracle_resolve_matches_full_frame():
                 np.asarray(getattr(full, name))[r0:r0 + H // 2],
                 err_msg=f"band {b} {name}",
             )
+
+
+def test_band_frame_with_ray_query_gtao():
+    """Band mode with the ray-query GTAO variant (gtao_rt row-origin
+    path) must match the single-device frame."""
+    import dataclasses
+
+    from vkr_tpu.config import GTAOConfig, RenderConfig
+    from vkr_tpu.core.framestate import FrameState
+    from vkr_tpu.frame import (build_scene_tri_grid, build_ssr_resources,
+                               camera_frame, render_frame)
+    from vkr_tpu.mathlib import look_at
+    from vkr_tpu.parallel import render_frame_banded
+    from vkr_tpu.passes.gbuffer import upload_scene
+    from vkr_tpu.scene import colonnade_scene
+    from jax.sharding import Mesh
+
+    H = W = 64
+    cfg = RenderConfig(
+        width=W, height=H, enable_ssr=False, enable_taa=False,
+        gtao=GTAOConfig(use_ray_query=True, rt_directions=8),
+    )
+    scene_cpu = colonnade_scene(columns=2, tessellation=6, tex_size=32)
+    scene = upload_scene(scene_cpu)
+    grid = build_scene_tri_grid(scene_cpu, resolution=12, cap=32)
+    res = build_ssr_resources(32)
+    view = look_at((-6, 2.2, -2), (4, 1.8, 0.5), (0, -1, 0))
+    cam = camera_frame(cfg, view, view, 0)
+
+    color_1, _, _ = render_frame(
+        scene, FrameState.initial(H, W), cam, res, cfg, tri_grid=grid,
+        use_pallas=True, interpret=True,
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("bands",))
+    color_b, _, _ = render_frame_banded(
+        scene, FrameState.initial(H, W), cam, res, cfg, mesh,
+        tri_grid=grid, use_pallas=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(color_b), np.asarray(color_1),
+                               atol=1e-5)
