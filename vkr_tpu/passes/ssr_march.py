@@ -355,6 +355,12 @@ def _phase_a_xla(cons, mip0, *, h, w, hp, wp, fovy, aspect, znear, zfar,
 # ------------------------------------------------------------ phase B
 
 _M0_CHUNK = 1024  # mip-0 table rows per one-hot chunk
+# 2 composes two iterations per while-loop trip (halves the Mosaic
+# loop + cond fixed overhead; segment lengths are multiples of 16 so
+# no overrun, and the early-exit check just coarsens to every 2 iters).
+# Keep 1 until flipped+measured on real TPU — 1 is trace-identical to
+# the validated kernel.
+_B_UNROLL = 1
 
 
 def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
@@ -495,8 +501,9 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
                       mpx=mpx, mpy=mpy)
         return i + 1, st
 
+    bodyfn = body if _B_UNROLL == 1 else (lambda c: body(body(c)))
     _, st = jax.lax.while_loop(
-        cond, body, (jnp.asarray(start_iter, jnp.int32), st)
+        cond, bodyfn, (jnp.asarray(start_iter, jnp.int32), st)
     )
     for i, k in enumerate(_ST):
         out_ref[i] = st[k].astype(jnp.float32)
