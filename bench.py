@@ -6,7 +6,14 @@ at 1080p on one v5e chip, BASELINE.md) — lower is better, < 1.0 meets it.
 
 Scene: procedural colonnade at Sponza-like workload (the bundled Sponza
 geometry blob is stripped from /root/reference; see
-vkr_tpu/scene/procedural.py). Per-pass timing breakdown goes to stderr.
+vkr_tpu/scene/procedural.py).
+
+Per-pass-group timing breakdown goes to stderr (BENCH_BREAKDOWN=0 to
+skip): the frame's three segments (G-buffer raster | hi-Z+SSR+GTAO |
+shading+TAA) are jitted separately (frame.frame_mid / frame_tail) and
+each is timed as R back-to-back async dispatches with ONE readback sync
+(per-call sync through the axon tunnel carries ~35 ms noise; queued
+dispatches amortize it to ~2.3 ms/call).
 """
 
 import json
@@ -17,6 +24,61 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from vkr_tpu.core.platform import ensure_platform
+
+
+def _breakdown(scene, state, cam, ssr_res, cfg, interpret, reps=4):
+    """Per-pass-group ms to stderr (BASELINE.json asks for raster / GTAO /
+    SSR / TAA attribution): segment-jit the frame (G-buffer | frame_mid =
+    hi-Z+SSR+GTAO | frame_tail = shading+TAA) and time R queued dispatches
+    per segment with one readback sync."""
+    import time as _time
+
+    import jax
+    import numpy as np
+
+    from vkr_tpu.core import registry
+    from vkr_tpu.frame import frame_mid, frame_tail
+
+    jit_gbuf = jax.jit(lambda s, c: registry.get("gbuf_opaque_taa")(
+        s, c.mvp, c.prev_mvp, c.jitter, width=cfg.width,
+        height=cfg.height, quantize=cfg.quantize_formats,
+        use_pallas=True, interpret=interpret,
+        mask_peel_layers=cfg.raster.mask_peel_layers,
+        trilinear=cfg.trilinear_textures,
+    ))
+    jit_mid = jax.jit(lambda gb, st, c: frame_mid(
+        gb, st, c, ssr_res, cfg, use_pallas=True, interpret=interpret,
+    ))
+    jit_tail = jax.jit(lambda gb, m, st, c: frame_tail(
+        gb, m, st, c, ssr_res, cfg, use_pallas=True, interpret=interpret,
+    ))
+
+    gbuf = jit_gbuf(scene, cam)
+    mid = jit_mid(gbuf, state, cam)
+    tail = jit_tail(gbuf, mid, state, cam)
+    _ = np.asarray(tail[0][0, 0])  # sync compiles
+
+    def timed(name, fn, sync):
+        out = None
+        t0 = _time.time()
+        for _i in range(reps):
+            out = fn()
+        _ = np.asarray(sync(out))
+        ms = (_time.time() - t0) / reps * 1e3
+        print(f"breakdown {name}: {ms:.1f} ms", file=sys.stderr)
+        return ms
+
+    total = 0.0
+    total += timed("gbuffer(raster+tex)",
+                   lambda: jit_gbuf(scene, cam), lambda o: o.depth[0, 0])
+    total += timed("mid(hiz+ssr+gtao)",
+                   lambda: jit_mid(gbuf, state, cam),
+                   lambda o: o["occlusion"][0, 0])
+    total += timed("tail(shading+taa)",
+                   lambda: jit_tail(gbuf, mid, state, cam),
+                   lambda o: o[0][0, 0])
+    print(f"breakdown sum: {total:.1f} ms (segment dispatch adds "
+          f"~2.3 ms/call; fused frame is the headline)", file=sys.stderr)
 
 
 def main():
@@ -114,6 +176,12 @@ def main():
     print(f"coverage: {cov:.3f}  frames: {len(times)}  "
           f"min/median/max ms: {min(times)*1e3:.1f}/{ms:.1f}/"
           f"{max(times)*1e3:.1f}", file=sys.stderr)
+
+    if os.environ.get("BENCH_BREAKDOWN", "1") != "0":
+        try:
+            _breakdown(scene, state, cam, ssr_res, cfg, interpret)
+        except Exception as e:  # never lose the headline JSON line
+            print(f"breakdown failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "1080p_full_pipeline_frame_time",

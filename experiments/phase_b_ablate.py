@@ -8,6 +8,9 @@ timing each variant by the K-rep differential method:
   coarse    — coarse (mips>=2, R~346) hi/lo einsums + col reduce + step
   nofetch   — surface_z = const (loop + step + bookkeeping only)
   colonly   — coarse einsums without the (8,128,128) column reduce
+  packed    — coarse fetch as ONE einsum against [hi | lo] (RC, 256)
+  fullpk    — full with every hi/lo einsum pair packed the same way
+  full2x    — full with the loop body composed 2x (half the trips)
 
     PYTHONPATH=/root/repo:/root/.axon_site python experiments/phase_b_ablate.py
 """
@@ -43,6 +46,10 @@ def main():
 
     def kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
                variant):
+        # packed variants receive [hi | lo] tables: hi_ref is (R, 256),
+        # hi0_ref (R0, 256); lo_ref/lo0_ref are unused 1-row dummies.
+        packed = variant in ("packed", "fullpk")
+        fullish = variant in ("full", "fullpk", "full2x")
         c = {k: cs_ref[i] for i, k in enumerate(_CN)}
         c["mx"] = 0.005 / w
         c["my"] = 0.005 / h
@@ -54,7 +61,18 @@ def main():
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 2)
         ck_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, CHUNK), 2)
         hi_c = hi_ref[R1:, :]
-        lo_c = lo_ref[R1:, :]
+        lo_c = None if packed else lo_ref[R1:, :]
+
+        def contract(oh, hi_slice, lo_slice):
+            """hi+lo fetch: two einsums, or one against [hi | lo]."""
+            if packed:
+                both = jnp.einsum("slh,hw->slw", oh, hi_slice,
+                                  preferred_element_type=jnp.float32)
+                return both[:, :, :128] + both[:, :, 128:]
+            part = jnp.einsum("slh,hw->slw", oh, hi_slice,
+                              preferred_element_type=jnp.float32)
+            return part + jnp.einsum("slh,hw->slw", oh, lo_slice,
+                                     preferred_element_type=jnp.float32)
 
         def body(i, st):
             act = st["done"] == 0.0
@@ -75,20 +93,14 @@ def main():
             else:
                 ohc = ((frow - R1)[..., None] == rc_iota).astype(
                     jnp.bfloat16)
-                rs = jnp.einsum("slh,hw->slw", ohc, hi_c,
-                                preferred_element_type=jnp.float32)
-                rs = rs + jnp.einsum("slh,hw->slw", ohc, lo_c,
-                                     preferred_element_type=jnp.float32)
-                if variant == "full":
+                rs = contract(ohc, hi_c, lo_c)
+                if fullish:
                     def fetch1():
                         oh1 = (jnp.where(at1, frow, -1)[..., None]
                                == r1_iota).astype(jnp.bfloat16)
-                        part = jnp.einsum(
-                            "slh,hw->slw", oh1, hi_ref[:R1, :],
-                            preferred_element_type=jnp.float32)
-                        return part + jnp.einsum(
-                            "slh,hw->slw", oh1, lo_ref[:R1, :],
-                            preferred_element_type=jnp.float32)
+                        return contract(
+                            oh1, hi_ref[:R1, :],
+                            None if packed else lo_ref[:R1, :])
 
                     rs = rs + jax.lax.cond(
                         jnp.any(at1), fetch1,
@@ -98,7 +110,7 @@ def main():
                 else:
                     colh = (flat & 127)[..., None] == col_iota
                     surface_z = jnp.where(colh, rs, 0.0).sum(-1)
-                if variant == "full":
+                if fullish:
                     f0row = jnp.clip(flat, 0, R0 * 128 - 1) >> 7
                     f0col = (flat & 127)[..., None] == col_iota
 
@@ -111,14 +123,10 @@ def main():
                             def hit(s=s):
                                 oh0 = ((f0row - s)[..., None] == ck_iota
                                        ).astype(jnp.bfloat16)
-                                part = jnp.einsum(
-                                    "slh,hw->slw", oh0,
-                                    hi0_ref[s : s + CHUNK, :],
-                                    preferred_element_type=jnp.float32)
-                                return part + jnp.einsum(
-                                    "slh,hw->slw", oh0,
-                                    lo0_ref[s : s + CHUNK, :],
-                                    preferred_element_type=jnp.float32)
+                                return contract(
+                                    oh0, hi0_ref[s : s + CHUNK, :],
+                                    None if packed
+                                    else lo0_ref[s : s + CHUNK, :])
 
                             acc = acc + jax.lax.cond(
                                 jnp.any(in_chunk), hit,
@@ -141,7 +149,12 @@ def main():
             st["done"] = jnp.zeros((8, 128), jnp.float32)
             return st
 
-        st = jax.lax.fori_loop(0, ITERS, lambda i, s: body(i, s), st)
+        if variant == "full2x":
+            st = jax.lax.fori_loop(
+                0, ITERS // 2,
+                lambda i, s: body(2 * i + 1, body(2 * i, s)), st)
+        else:
+            st = jax.lax.fori_loop(0, ITERS, lambda i, s: body(i, s), st)
         for i, k in enumerate(_ST):
             out_ref[i] = st[k].astype(jnp.float32)
 
@@ -153,8 +166,17 @@ def main():
     lo = jnp.asarray(rng.uniform(size=(R, 128)) * 1e-3, jnp.bfloat16)
     hi0 = jnp.asarray(rng.uniform(size=(R0, 128)), jnp.bfloat16)
     lo0 = jnp.asarray(rng.uniform(size=(R0, 128)) * 1e-3, jnp.bfloat16)
+    hipk = jnp.concatenate([hi, lo], axis=1)    # (R, 256)
+    hi0pk = jnp.concatenate([hi0, lo0], axis=1)  # (R0, 256)
+    dummy = jnp.zeros((8, 128), jnp.bfloat16)
 
-    for variant in ("nofetch", "colonly", "coarse", "full"):
+    for variant in ("nofetch", "colonly", "coarse", "packed", "full",
+                    "fullpk", "full2x"):
+        packed = variant in ("packed", "fullpk")
+        tw = 256 if packed else 128
+        t_hi, t_lo = (hipk, dummy) if packed else (hi, lo)
+        t_hi0, t_lo0 = (hi0pk, dummy) if packed else (hi0, lo0)
+
         def run(k):
             def f(cs_in):
                 outs = []
@@ -167,18 +189,20 @@ def main():
                             in_specs=[
                                 pl.BlockSpec((N_CONS + N_STATE, 8, 128),
                                              lambda i: (0, i, 0)),
-                                pl.BlockSpec((R, 128), lambda i: (0, 0)),
-                                pl.BlockSpec((R, 128), lambda i: (0, 0)),
-                                pl.BlockSpec((R0, 128), lambda i: (0, 0)),
-                                pl.BlockSpec((R0, 128), lambda i: (0, 0)),
+                                pl.BlockSpec((R, tw), lambda i: (0, 0)),
+                                pl.BlockSpec(t_lo.shape,
+                                             lambda i: (0, 0)),
+                                pl.BlockSpec((R0, tw), lambda i: (0, 0)),
+                                pl.BlockSpec(t_lo0.shape,
+                                             lambda i: (0, 0)),
                             ],
                             out_specs=pl.BlockSpec(
                                 (N_STATE, 8, 128), lambda i: (0, i, 0)),
                         ),
                         out_shape=jax.ShapeDtypeStruct(
                             (N_STATE, n_rays // 128, 128), jnp.float32),
-                    )(cs_in.at[0, 0, 0].add(1e-7 * (r + 1)), hi, lo,
-                      hi0, lo0)
+                    )(cs_in.at[0, 0, 0].add(1e-7 * (r + 1)), t_hi, t_lo,
+                      t_hi0, t_lo0)
                     outs.append(o.sum())
                 return sum(outs)
             return jax.jit(f)

@@ -90,13 +90,21 @@ class TestGTAOVariants:
         )
         out = np.asarray(
             gtao_main_mis(depth, noct, material, res.pdf_lut, ssr_occ, p,
-                          jnp.asarray(0.0))
+                          jnp.asarray(0.0), use_kernel=False)
         )
         assert np.isfinite(out).all()
+        # window-kernel march (interpret) matches the gather oracle
+        out_k = np.asarray(
+            gtao_main_mis(depth, noct, material, res.pdf_lut, ssr_occ, p,
+                          jnp.asarray(0.0), use_kernel=True,
+                          interpret=True)
+        )
+        assert np.abs(out_k - out).max() < 1e-4
         # reflections_only mode returns the ratio
         ratio = np.asarray(
             gtao_main_mis(depth, noct, material, res.pdf_lut, ssr_occ, p,
-                          jnp.asarray(0.0), reflections_only=True)
+                          jnp.asarray(0.0), reflections_only=True,
+                          use_kernel=False)
         )
         assert np.allclose(ratio[8:-8, 8:-8],
                            0.3 / (1.0 / (2 * np.pi)), atol=1e-3)

@@ -33,7 +33,14 @@ class GTAOConfig:
     max_thickness: float = 0.1   # MAX_THIKNESS break heuristic
     pattern_n: int = 4           # rotating direction pattern period
     two_directions: bool = False # AO_MODE in main.comp
-    mis: bool = False            # MIS AO+reflection mode
+    # MIS AO+reflection main-pass mode — the reference DEFAULT
+    # (gtao.hpp:112 mis_gtao = true; main.comp:60-62 takes the
+    # mis_gtao() branch). Requires enable_ssr (the SSR trace's
+    # occlusion estimate is the second MIS sampling strategy); the
+    # frame falls back to gtao_main when SSR is off.
+    mis: bool = True
+    weight_ratio: float = 1.0    # MIS strategy weight (gtao.hpp:116)
+    reflections_only: bool = False  # debug view (gtao.cpp:532)
     # ray-traced GTAO against the scene acceleration structure
     # (gtao.cpp:150-196 + shaders/gtao/rt_main.frag); off by default
     # exactly like the reference's USE_RAY_QUERY=0 (main.cpp:40)

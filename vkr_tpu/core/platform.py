@@ -21,22 +21,27 @@ def ensure_platform(platform: str | None = None) -> str:
     if want:
         jax.config.update("jax_platforms", want)
 
-    # Persistent compilation cache: TPU compiles go through a remote tunnel
+    # Persistent compilation cache. TPU compiles go through a remote tunnel
     # here (~minutes for the full frame graph); cache hits make re-runs
-    # fast. CPU is excluded — XLA:CPU AOT artifacts embed host machine
-    # features and can SIGILL when loaded on a different host, and CPU
-    # compiles are cheap anyway.
+    # fast — repo-local dir, safe to commit alongside. XLA:CPU AOT
+    # artifacts embed host machine features and can SIGILL when loaded on
+    # a different host, so CPU gets a HOST-LOCAL /tmp dir instead (never
+    # committed): interpret-mode Pallas compiles dominate CPU wall-clock
+    # (the round-3 dryrun_multichip rc=124 timeout was exactly this).
     if jax.default_backend() != "cpu":
         cache_dir = os.environ.get("VKR_JAX_CACHE",
                                    "/root/repo/.jax_cache")
-        try:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 1.0
-            )
-            jax.config.update(
-                "jax_persistent_cache_min_entry_size_bytes", 0
-            )
-        except Exception:
-            pass
+    else:
+        cache_dir = os.environ.get("VKR_JAX_CACHE_CPU",
+                                   "/tmp/vkr_jax_cache_cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", 0
+        )
+    except Exception:
+        pass
     return jax.default_backend()

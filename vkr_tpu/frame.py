@@ -176,7 +176,7 @@ def render_frame(
                        use_pallas=use_pallas, interpret=interpret)
 
 
-def shade_frame(
+def frame_mid(
     gbuf,
     state: FrameState,
     cam: CameraFrame,
@@ -190,9 +190,13 @@ def shade_frame(
     band=None,
     gather_fn=None,
 ):
-    """The image-space chain after the G-buffer (hi-Z -> SSR -> GTAO ->
-    shading -> TAA -> history). Split out so the band-parallel frame
-    (parallel/band.py) can feed it a gathered full-frame G-buffer.
+    """The middle of the image-space chain: hi-Z downsample -> SSR
+    (trace/filter/blur) -> probe GI -> GTAO (main/filter/accumulate).
+    Returns a dict of the products the tail (frame_tail: shading + TAA
+    + history) consumes. shade_frame composes both; keeping mid/tail
+    independently jittable gives the bench a trustworthy per-group
+    timing split and makes .jax_cache entries per-segment (a traced
+    edit to the tail no longer recompiles the march).
 
     band=(row0, band_h) (multi-chip band mode): every EXPENSIVE pass
     computes only its band of rows (full-res rows [row0, row0+band_h),
@@ -242,6 +246,7 @@ def shade_frame(
             ),
         )
         rays = g(rays)
+        ssr_occ = g(ssr_occ)
         reflections = add_task(
             "SSSR_filter",
             lambda: registry.get("sssr_filter")(
@@ -271,6 +276,7 @@ def shade_frame(
             ),
         )
     else:
+        ssr_occ = None
         ssr_blurred = jnp.zeros(
             (bhh if banded else h // 2, w // 2, 3), jnp.float32)
 
@@ -318,6 +324,21 @@ def shade_frame(
                     rt_radius=cfg.gtao.rt_radius, row0=r0h, band_h=bhh,
                 ),
             ))
+        elif cfg.gtao.mis and ssr_occ is not None:
+            # The reference's DEFAULT main-pass mode (gtao.hpp:112
+            # mis_gtao = true): MIS-combine one uniform-direction arc
+            # with the SSR trace's GGX occlusion estimate (main.cpp:375
+            # writes it into gtao.raw before this pass).
+            raw_ao = g(add_task(
+                "GTAO_main",
+                lambda: registry.get("gtao_main_mis")(
+                    depth_half, hiz.normal_half, gbuf.material,
+                    ssr_res.pdf_lut, ssr_occ, gp, base_angle,
+                    weight_ratio=cfg.gtao.weight_ratio,
+                    reflections_only=cfg.gtao.reflections_only,
+                    row0=r0h, band_h=bhh,
+                    use_kernel=use_pallas, interpret=interpret),
+            ))
         else:
             if use_pallas:
                 raw_ao = g(add_task(
@@ -359,6 +380,44 @@ def shade_frame(
     else:
         gtao_accum = state.gtao_accum
         occlusion = jnp.ones((h // 2, w // 2), jnp.float32)
+
+    return {
+        "depth_half": depth_half,
+        "ssr_blurred": ssr_blurred,
+        "gtao_accum": gtao_accum,
+        "occlusion": occlusion,
+    }
+
+
+def frame_tail(
+    gbuf,
+    mid,
+    state: FrameState,
+    cam: CameraFrame,
+    ssr_res: SSRResources,
+    cfg: RenderConfig,
+    *,
+    use_pallas: bool = True,
+    interpret: bool = False,
+    band=None,
+    gather_fn=None,
+):
+    """Deferred shading -> TAA -> end-of-frame history remaps
+    (main.cpp:416-420). mid: frame_mid's product dict. Returns
+    (final color, new FrameState, aux)."""
+    banded = band is not None
+    if banded:
+        row0, band_h = band
+        g = gather_fn
+    else:
+        row0 = band_h = None
+        g = lambda x: x
+    inv_view = _inv4(cam.view)
+    prev_inv_view = _inv4(cam.prev_view)
+    depth_half = mid["depth_half"]
+    ssr_blurred = mid["ssr_blurred"]
+    gtao_accum = mid["gtao_accum"]
+    occlusion = mid["occlusion"]
 
     # ---- Deferred shading ----
     shade_params = ShadingParams(
@@ -412,6 +471,35 @@ def shade_frame(
            "ssr": ssr_blurred, "ao": occlusion,
            "overflow": gbuf.overflow}
     return final, new_state, aux
+
+
+def shade_frame(
+    gbuf,
+    state: FrameState,
+    cam: CameraFrame,
+    ssr_res: SSRResources,
+    cfg: RenderConfig,
+    *,
+    probe_grid=None,
+    tri_grid=None,
+    use_pallas: bool = True,
+    interpret: bool = False,
+    band=None,
+    gather_fn=None,
+):
+    """The image-space chain after the G-buffer (hi-Z -> SSR -> GTAO ->
+    shading -> TAA -> history) = frame_mid . frame_tail. Split out so
+    the band-parallel frame (parallel/band.py) can feed it a gathered
+    full-frame G-buffer; see frame_mid's docstring for band semantics."""
+    mid = frame_mid(
+        gbuf, state, cam, ssr_res, cfg, probe_grid=probe_grid,
+        tri_grid=tri_grid, use_pallas=use_pallas, interpret=interpret,
+        band=band, gather_fn=gather_fn,
+    )
+    return frame_tail(
+        gbuf, mid, state, cam, ssr_res, cfg, use_pallas=use_pallas,
+        interpret=interpret, band=band, gather_fn=gather_fn,
+    )
 
 
 def _inv4(view):

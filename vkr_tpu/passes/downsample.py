@@ -69,6 +69,7 @@ def downsample_gbuffer(depth, normal, velocity):
 
 
 @register("depth_mips")
+@register("downsample_depth")  # manifest name (config.json: depth_downsample/*)
 def downsample_depth_chain(depth_half) -> List[jnp.ndarray]:
     """Mips 2..N by 2x2 min (depth_downsample/shader.frag), down to 1x1-ish.
 

@@ -404,3 +404,31 @@ def render_gbuffer(
         depth=depth,
         overflow=overflow,
     )
+
+
+@register("gbuf_opaque")
+def render_gbuffer_legacy(
+    scene: SceneDevice,
+    view_proj,
+    *,
+    width: int,
+    height: int,
+    quantize: bool = True,
+    use_pallas: bool = True,
+    interpret: bool = False,
+    trilinear: bool = False,
+) -> GBuffer:
+    """Legacy non-TAA G-buffer (gbuf/opaque.{vert,frag}; manifest entry
+    gbuf_opaque, src/shaders/config.json): the unjittered raster path
+    with no motion vectors — gl_Position carries no jitter and the
+    fragment stage writes only albedo/normal/material (+depth). Analog:
+    the TAA raster with zero jitter and prev == cur projection; the
+    velocity plane (which the legacy pass does not produce) is exactly
+    zero."""
+    gbuf = render_gbuffer(
+        scene, view_proj, view_proj, jnp.zeros(2, jnp.float32),
+        width=width, height=height, quantize=quantize,
+        use_pallas=use_pallas, interpret=interpret,
+        trilinear=trilinear,
+    )
+    return gbuf._replace(velocity=jnp.zeros_like(gbuf.velocity))

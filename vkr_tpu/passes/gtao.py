@@ -369,6 +369,7 @@ def ao_ray_directions(count: int = 64, seed: int = 7):
 
 
 @register("gtao_rt")
+@register("gtao_rt_main")  # manifest name (config.json: gtao/rt_main_frag)
 def gtao_rt(depth_half, normal_half, tri_grid, camera_to_world,
             fovy, aspect, znear, zfar, rotation, directions,
             rt_radius: float = 0.2, max_steps: int = 12,
@@ -533,81 +534,123 @@ def gtao_normal_space(depth_half, normal_half, params: GTAOParams,
 
 
 @register("gtao_main_mis")
-def gtao_main_mis(depth_half, normal_half, material_full, pdf_lut,
+def gtao_main_mis(depth_half, normal_half, material, pdf_lut,
                   ssr_occlusion, params: GTAOParams, base_angle,
                   weight_ratio: float = 1.0,
-                  reflections_only: bool = False):
-    """main.comp mis_gtao (239-296): MIS-combine one uniform-direction
+                  reflections_only: bool = False,
+                  row0=None, band_h: "int | None" = None,
+                  use_kernel: bool = True, interpret: bool = False):
+    """main.comp mis_gtao (219-274): MIS-combine one uniform-direction
     GTAO arc with the SSR trace's GGX-importance occlusion estimate
     (ssr_occlusion = SSR trace occlusion output (h, w, 2) = (sum, pdf),
-    written into gtao.raw before this pass — main.cpp ssr.run(...,
-    gtao.raw))."""
+    written into gtao.raw before this pass — main.cpp:375 ssr.run(...,
+    gtao.raw)). This is the reference's DEFAULT main-pass mode
+    (gtao.hpp:112 mis_gtao = true; weight_ratio default 1.0,
+    gtao.hpp:116).
+
+    The 16-step horizon march is the same find_horizon as
+    gtao_camera_space; use_kernel=True fetches all 16 bilinear taps with
+    one multi-offset window-gather kernel call (as gtao_main). material:
+    FULL-res G-buffer material (roughness in .g, sampled at half-res
+    pixel centers = exact 2x2 mean) or an already-half-res (h, w, C)
+    array. row0/band_h (band mode): compute rows [row0, row0+band_h);
+    depth_half / ssr_occlusion stay FULL."""
     from vkr_tpu.passes.ssr import sample_ggx_dir_pdf
 
-    h, w = depth_half.shape
-    uv = screen_uv_grid(h, w)
-    camera_pos = reconstruct_view_vec(
-        uv, depth_half, params.fovy, params.aspect, params.znear,
-        params.zfar,
+    H, W = depth_half.shape
+    uv, camera_pos, w0, cam_n, radius_px, depth_c = _common(
+        depth_half, normal_half, params, row0=row0, band_h=band_h
     )
-    w0 = -camera_pos / jnp.linalg.norm(camera_pos, axis=-1,
-                                       keepdims=True).clip(1e-20)
-    nm = jnp.asarray(params.normal_mat)
-    cam_n = decode_normal(normal_half) @ nm[:3, :3].T
-    cam_n = cam_n / jnp.linalg.norm(cam_n, axis=-1,
-                                    keepdims=True).clip(1e-20)
-
-    size = jnp.asarray([w, h], jnp.float32)
-    radius_px = jnp.minimum(
-        100.0 / jnp.linalg.norm(camera_pos, axis=-1).clip(1e-20), 16.0
-    )
-    cls = gtao_direction_pattern(h, w).astype(jnp.float32) / 16.0
+    h, w = depth_c.shape
+    banded = row0 is not None
+    cls = gtao_direction_pattern(h, w, row0=0 if row0 is None else row0
+                                 ).astype(jnp.float32) / 16.0
+    size = jnp.asarray([W, H], jnp.float32)
     angle = 2.0 * PI * (cls + base_angle)
     dir_uv = radius_px[..., None] * jnp.stack(
         [jnp.cos(angle), jnp.sin(angle)], -1) / size
 
     sample_end = reconstruct_view_vec(
-        uv + dir_uv, depth_half, params.fovy, params.aspect, params.znear,
+        uv + dir_uv, depth_c, params.fovy, params.aspect, params.znear,
         params.zfar,
     )
     ldir = sample_end - camera_pos
     ldir = ldir / jnp.linalg.norm(ldir, axis=-1, keepdims=True).clip(1e-20)
     n_proj_len, n_angle = _arc_terms(
-        uv, depth_half, camera_pos, w0, cam_n, dir_uv, params
+        uv, depth_c, camera_pos, w0, cam_n, dir_uv, params
     )
 
-    def stp(i, carry):
-        h_cos, prev_z, alive = carry
-        tc = uv + (i.astype(jnp.float32) / N_STEPS) * dir_uv
-        sd = bilinear_sample(depth_half, tc)
-        sp = reconstruct_view_vec(tc, sd, params.fovy, params.aspect,
-                                  params.znear, params.zfar)
-        alive = alive & ~(sp[..., 2] > prev_z + MAX_THICKNESS)
-        prev_z = jnp.where(alive, sp[..., 2], prev_z)
-        off = sp - camera_pos
-        s_cos = (w0 * off).sum(-1) / jnp.linalg.norm(
-            off, axis=-1).clip(1e-20)
-        h_cos = jnp.where(alive, jnp.maximum(h_cos, s_cos), h_cos)
-        return h_cos, prev_z, alive
+    if use_kernel:
+        from vkr_tpu.raster.gather_kernel import (
+            window_gather_bilinear_multi,
+        )
 
-    h_cos, _, _ = jax.lax.fori_loop(
-        1, N_STEPS + 1, stp,
-        (jnp.full((h, w), -1.0), camera_pos[..., 2],
-         jnp.ones((h, w), bool)),
-    )
+        fr = (jnp.arange(1, N_STEPS + 1, dtype=jnp.float32)
+              / N_STEPS)[:, None, None]
+        sds = window_gather_bilinear_multi(
+            depth_half, fr * (dir_uv[..., 1] * H)[None],
+            fr * (dir_uv[..., 0] * W)[None], radius=N_STEPS,
+            interpret=interpret, row0=row0,
+        )  # (16, h, w)
+        h_cos = jnp.full((h, w), -1.0)
+        prev_z = camera_pos[..., 2]
+        alive = jnp.ones((h, w), bool)
+        for i in range(1, N_STEPS + 1):
+            tc = uv + (float(i) / N_STEPS) * dir_uv
+            sp = reconstruct_view_vec(tc, sds[i - 1], params.fovy,
+                                      params.aspect, params.znear,
+                                      params.zfar)
+            alive = alive & ~(sp[..., 2] > prev_z + MAX_THICKNESS)
+            prev_z = jnp.where(alive, sp[..., 2], prev_z)
+            off = sp - camera_pos
+            s_cos = (w0 * off).sum(-1) / jnp.linalg.norm(
+                off, axis=-1).clip(1e-20)
+            h_cos = jnp.where(alive, jnp.maximum(h_cos, s_cos), h_cos)
+    else:
+        def stp(i, carry):
+            h_cos, prev_z, alive = carry
+            tc = uv + (i.astype(jnp.float32) / N_STEPS) * dir_uv
+            sd = bilinear_sample(depth_half, tc)
+            sp = reconstruct_view_vec(tc, sd, params.fovy, params.aspect,
+                                      params.znear, params.zfar)
+            alive = alive & ~(sp[..., 2] > prev_z + MAX_THICKNESS)
+            prev_z = jnp.where(alive, sp[..., 2], prev_z)
+            off = sp - camera_pos
+            s_cos = (w0 * off).sum(-1) / jnp.linalg.norm(
+                off, axis=-1).clip(1e-20)
+            h_cos = jnp.where(alive, jnp.maximum(h_cos, s_cos), h_cos)
+            return h_cos, prev_z, alive
+
+        h_cos, _, _ = jax.lax.fori_loop(
+            1, N_STEPS + 1, stp,
+            (jnp.full((h, w), -1.0), camera_pos[..., 2],
+             jnp.ones((h, w), bool)),
+        )
     occlusion = (1.0 / PI) * _arc_integral(h_cos, n_proj_len, n_angle)
 
-    roughness = bilinear_sample(material_full, uv)[..., 1]
+    # roughness = texture(gbuffer_material, screen_uv).g — half-res pixel
+    # centers land exactly between full-res texels, so bilinear = the
+    # dense 2x2 mean (no gathers).
+    if material.shape[:2] == (H, W):
+        rough_half = material[..., 1]
+    else:
+        from vkr_tpu.passes.sampling import downsample_full_to_half
+
+        rough_half = downsample_full_to_half(material[..., 1])
+    if banded:
+        rough_half = jax.lax.dynamic_slice(rough_half, (row0, 0), (h, w))
+        ao = jax.lax.dynamic_slice(ssr_occlusion, (row0, 0, 0), (h, w, 2))
+    else:
+        ao = ssr_occlusion  # (h, w, 2): (sum, pdf)
     pdf_ggx = sample_ggx_dir_pdf(pdf_lut, w0, cam_n, ldir,
-                                 roughness * roughness)
+                                 rough_half * rough_half)
     pdf_uniform = 1.0 / (2.0 * PI)
 
-    ao = ssr_occlusion  # (h, w, 2): (sum, pdf)
     if reflections_only:
         res = ao[..., 0] / jnp.where(jnp.abs(ao[..., 1]) < 1e-20, 1e-20,
                                      ao[..., 1])
         res = jnp.where(jnp.isnan(res), 1.0, res)
-        return jnp.where(depth_half >= 1.0, 0.0, res)
+        return jnp.where(depth_c >= 1.0, 0.0, res)
 
     alpha = 1.0 / (weight_ratio + 1.0)
     beta = 1.0 - alpha
@@ -615,7 +658,62 @@ def gtao_main_mis(depth_half, normal_half, material_full, pdf_lut,
     mw2 = beta / (alpha * pdf_ggx + beta * pdf_uniform)
     mis_ao = ao[..., 0] * mw1 + occlusion * mw2
     mis_ao = jnp.where(jnp.isnan(mis_ao), occlusion / pdf_uniform, mis_ao)
-    return jnp.where(depth_half >= 1.0, 0.0, mis_ao)
+    return jnp.where(depth_c >= 1.0, 0.0, mis_ao)
+
+
+@register("gtao_reproject")
+def gtao_reproject(current_depth, prev_depth, current_ao, prev_ao,
+                   camera_to_prev_frame, fovy, aspect, znear, zfar,
+                   matrix_mode: bool = False, bias: float = 1e-6):
+    """gtao/reproject.comp:27-68 — the standalone AO temporal-reproject
+    variant (matrix-based; distinct from gtao_accumulate's
+    velocity-based reprojection). Default is the shader's compiled-in
+    STATIC_REPROJECT mode (reproject.comp:6): same-pixel depth match ->
+    ao = mix(prev_ao, new_ao, 0.05). matrix_mode=True runs
+    MATRIX_REPROJECT: reproject the view-space point through
+    camera_to_prev_frame and bilinear-sample the previous frame (a
+    registered non-default variant; uses the gather oracle path).
+    bias: REPROJECT_BIAS (reproject.comp:8) — in matrix mode the
+    1e-6 linearized-depth tolerance admits only bit-stable round trips,
+    exactly as compiled into the shader."""
+    coef = 0.05  # REPROJECT_COEF
+    h, w = current_depth.shape
+    new_ao = current_ao
+    uv = screen_uv_grid(h, w)
+    # reproject.comp:30 uses uv = pixel/size (no half-texel center)
+    uv = uv - 0.5 / jnp.asarray([w, h], jnp.float32)
+    cur_view = reconstruct_view_vec(uv, current_depth, fovy, aspect,
+                                    znear, zfar)
+    if matrix_mode:
+        m = jnp.asarray(camera_to_prev_frame)
+        rep = cur_view @ m[:3, :3].T + m[:3, 3]
+        rep_w = (cur_view * m[3, :3]).sum(-1) + m[3, 3]
+        prev_view = rep / jnp.where(jnp.abs(rep_w) < 1e-20, 1e-20,
+                                    rep_w)[..., None]
+        prev_xy = 0.5 * prev_view[..., :2] + 0.5
+        in_bounds = (
+            (prev_xy[..., 0] > 0) & (prev_xy[..., 0] < 1)
+            & (prev_xy[..., 1] > 0) & (prev_xy[..., 1] < 1)
+        )
+        sampled_depth = bilinear_sample(prev_depth, prev_xy)
+        sampled_ao = bilinear_sample(prev_ao, prev_xy)
+        rep_z = linearize_depth(prev_view[..., 2], znear, zfar)
+        sampled_z = linearize_depth(sampled_depth, znear, zfar)
+        keep = (
+            in_bounds
+            & (jnp.abs(rep_z - sampled_z) < bias)
+            & (sampled_depth < 1.0)
+        )
+    else:
+        sampled_depth = prev_depth
+        sampled_ao = prev_ao
+        sampled_z = linearize_depth(sampled_depth, znear, zfar)
+        keep = (
+            (jnp.abs(sampled_z - cur_view[..., 2]) < bias)
+            & (sampled_depth < 1.0)
+        )
+    blended = sampled_ao + coef * (new_ao - sampled_ao)  # mix(a, b, t)
+    return jnp.where(keep, blended, new_ao)
 
 
 @register("deinterleave_depth")

@@ -212,53 +212,13 @@ def _shader_rand(uv):
     return s - jnp.floor(s)
 
 
-@register("sssr_trace")
-def ssr_trace(
-    hiz: FlatPyramid,
-    normal_half,
-    material_full,
-    pdf_lut,
-    params: SSRParams,
-    frame_random,
-    halton,
-    max_iterations: int = 80,
-    use_kernel: bool = False,
-    interpret: bool = False,
-    row0=None,
-    band_h: "int | None" = None,
-):
-    """trace.comp main(): returns (ray_info (h, w, 4) = hit uvz + src depth
-    [1.0 = invalid], occlusion (h, w, 2) = AO estimate + pdf).
-
-    row0/band_h (band mode, parallel/band.py): compute only trace rows
-    [row0, row0 + band_h) — inputs stay FULL-frame (the march fetches
-    globally); row0 may be traced."""
-    h, w = hiz.heights[0], hiz.widths[0]
-    banded = row0 is not None
-    bh = band_h if banded else h
-    uv = screen_uv_grid(bh, w, row0=row0 if banded else 0, full_height=h)
-    size = jnp.asarray([w, h], jnp.float32)
-
-    from vkr_tpu.passes.sampling import downsample_full_to_half
-
-    depth_full = hiz.flat[: h * w].reshape(h, w)
-    if banded:
-        mat_in = jax.lax.dynamic_slice(
-            material_full, (2 * row0, 0, 0),
-            (2 * bh, material_full.shape[1], material_full.shape[2]))
-        normal_band = jax.lax.dynamic_slice(
-            normal_half, (row0, 0, 0), (bh, w, normal_half.shape[2]))
-        pixel_depth = jax.lax.dynamic_slice(depth_full, (row0, 0),
-                                            (bh, w))
-    else:
-        mat_in = material_full
-        normal_band = normal_half
-        pixel_depth = depth_full
-    material = downsample_full_to_half(mat_in)[:bh, :w]
-    roughness_tex = material[..., 1]
-    biased = params.max_roughness * roughness_tex
-    roughness = biased * biased  # alpha
-
+def _reflection_ray_setup(uv, pixel_depth, normal_band, roughness, params,
+                          frame_random, halton):
+    """Shared per-pixel reflection ray construction (trace.comp:47-93 ==
+    trace_indirect.comp:58-93): GGX-VNDF microfacet normal from the
+    halton pair, R = reflect(view_vec, N), projective ray start/dir.
+    Returns (view_vec, w0, camera normal n, reflection dir r, ray_start,
+    ray_dir)."""
     n_world = decode_normal(normal_band)
     nm = jnp.asarray(params.normal_mat)
     n = n_world @ nm[:3, :3].T
@@ -310,6 +270,61 @@ def ssr_trace(
         jnp.abs(ray_dir[..., 2]) < 1e-20, 1e-20, ray_dir[..., 2]
     )
     ray_dir = ray_dir * scale[..., None]
+    return view_vec, w0, n, r, ray_start, ray_dir
+
+
+@register("sssr_trace")
+def ssr_trace(
+    hiz: FlatPyramid,
+    normal_half,
+    material_full,
+    pdf_lut,
+    params: SSRParams,
+    frame_random,
+    halton,
+    max_iterations: int = 80,
+    use_kernel: bool = False,
+    interpret: bool = False,
+    row0=None,
+    band_h: "int | None" = None,
+):
+    """trace.comp main(): returns (ray_info (h, w, 4) = hit uvz + src depth
+    [1.0 = invalid], occlusion (h, w, 2) = AO estimate + pdf).
+
+    row0/band_h (band mode, parallel/band.py): compute only trace rows
+    [row0, row0 + band_h) — inputs stay FULL-frame (the march fetches
+    globally); row0 may be traced."""
+    h, w = hiz.heights[0], hiz.widths[0]
+    banded = row0 is not None
+    bh = band_h if banded else h
+    uv = screen_uv_grid(bh, w, row0=row0 if banded else 0, full_height=h)
+    size = jnp.asarray([w, h], jnp.float32)
+
+    from vkr_tpu.passes.sampling import downsample_full_to_half
+
+    depth_full = hiz.flat[: h * w].reshape(h, w)
+    if banded:
+        mat_in = jax.lax.dynamic_slice(
+            material_full, (2 * row0, 0, 0),
+            (2 * bh, material_full.shape[1], material_full.shape[2]))
+        normal_band = jax.lax.dynamic_slice(
+            normal_half, (row0, 0, 0), (bh, w, normal_half.shape[2]))
+        pixel_depth = jax.lax.dynamic_slice(depth_full, (row0, 0),
+                                            (bh, w))
+    else:
+        mat_in = material_full
+        normal_band = normal_half
+        pixel_depth = depth_full
+    material = downsample_full_to_half(mat_in)[:bh, :w]
+    roughness_tex = material[..., 1]
+    biased = params.max_roughness * roughness_tex
+    roughness = biased * biased  # alpha
+
+    (view_vec, w0, n, r, ray_start, ray_dir) = _reflection_ray_setup(
+        uv, pixel_depth, normal_band, roughness, params, frame_random,
+        halton,
+    )
+    nm = jnp.asarray(params.normal_mat)
 
     if use_kernel or banded:
         # Pallas 3-phase march (ssr_march.py) — same math, no XLA
@@ -396,10 +411,13 @@ def ssr_trace(
 def _hierarchical_march(hiz, origin, direction, camera_start, w0, params,
                         max_iterations, find_hor: bool = True,
                         compact_after: int = 24,
-                        compact_frac: float = 0.25):
+                        compact_frac: float = 0.25,
+                        most_detailed_mip: int = 0):
     """hierarchical_raymarch_find_hor (trace.comp:171-236). With
     find_hor=False this is the plain hierarchical_raymarch of
     screen_trace.glsl:51-101 (no fixed fine-mip prefix, no horizon).
+    most_detailed_mip: the march's finest mip (screen_trace.glsl:52-56;
+    trace_indirect.comp:101 starts glossy rays at mip 1).
 
     After `compact_after` iterations, surviving rays (typically a small
     fraction — hits/sky/out-of-bounds retire early) are packed into a
@@ -417,7 +435,8 @@ def _hierarchical_march(hiz, origin, direction, camera_start, w0, params,
             direction != 0.0,
             1.0 / jnp.where(direction == 0, 1.0, direction), MAX_T,
         )
-        uv_offset_mag = 0.005 / screen
+        # 0.005 * exp2(most_detailed_mip) / screen (screen_trace.glsl:71)
+        uv_offset_mag = 0.005 * (2.0 ** most_detailed_mip) / screen
         uv_offset = jnp.where(direction[..., :2] < 0, -uv_offset_mag,
                               uv_offset_mag)
         floor_offset = jnp.where(direction[..., :2] < 0, 0.0, 1.0)
@@ -487,7 +506,7 @@ def _hierarchical_march(hiz, origin, direction, camera_start, w0, params,
                             st["hor"])
 
             iters = jnp.where(act, i + 1, st["iters"])
-            done = st["done"] | (mip_out < 0)
+            done = st["done"] | (mip_out < most_detailed_mip)
             # A ray outside the screen moving further out can never
             # intersect again; retire it as invalid (the reference burns
             # its remaining iterations and ends invalid).
@@ -508,10 +527,11 @@ def _hierarchical_march(hiz, origin, direction, camera_start, w0, params,
 
     consts = make_consts(origin, direction, camera_start, w0)
 
-    # initial_advance_ray (screen_trace.glsl:8-15), mip 0
-    cur_pos = screen * origin[..., :2]
+    # initial_advance_ray (screen_trace.glsl:8-15), at most_detailed_mip
+    start_res = screen * (2.0 ** -most_detailed_mip)
+    cur_pos = start_res * origin[..., :2]
     xy_plane = (
-        (jnp.floor(cur_pos) + consts["floor_offset"]) / screen
+        (jnp.floor(cur_pos) + consts["floor_offset"]) / start_res
         + consts["uv_offset"]
     )
     t0 = (xy_plane - origin[..., :2]) * consts["inv_dir"][..., :2]
@@ -523,7 +543,7 @@ def _hierarchical_march(hiz, origin, direction, camera_start, w0, params,
         i=jnp.asarray(0, jnp.int32),
         position=position,
         current_t=current_t,
-        mip=jnp.zeros(lead, jnp.int32),
+        mip=jnp.full(lead, most_detailed_mip, jnp.int32),
         hor=jnp.zeros(lead, jnp.float32),
         done=jnp.zeros(lead, bool),
         iters=jnp.zeros(lead, jnp.int32),

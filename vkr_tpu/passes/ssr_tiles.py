@@ -127,6 +127,96 @@ def tile_plane_regression(depth, camera_to_world, fovy, aspect, znear,
     return jnp.concatenate([plane, mse[..., None]], axis=-1)
 
 
+@register("sssr_trace_indirect")
+def ssr_trace_indirect(hiz, normal_half, material_full, params,
+                       frame_random, halton, classification,
+                       reflection_type: int = 0):
+    """trace_indirect.comp:44-134 — the specialized reflection trace that
+    consumes the classification pass's tile lists. reflection_type 0 =
+    mirror tiles (plain hierarchical_raymarch at mip 0, 50 iterations +
+    a hit-depth tolerance test), 1 = glossy tiles (mip 1, 25
+    iterations). TPU-native mapping: "dispatch indirect over g_tiles"
+    becomes dense masked execution — every pixel computes, pixels whose
+    8x8 tile is not in the requested class come out invalid
+    (out_ray_info = (0, 0, 1, 1), the shader's initializer). The
+    reference builds this pipeline but leaves it disabled in
+    AdvancedSSR::run (advanced_ssr.cpp:540-554); registered for manifest
+    parity (config.json sssr_trace_indirect).
+
+    hiz: FlatPyramid; params: SSRParams; classification: the
+    sssr_classification output. Returns ray_info (h, w, 4)."""
+    from vkr_tpu.passes.sampling import (
+        bilinear_from_quad,
+        downsample_full_to_half,
+        quad_pack,
+        screen_uv_grid,
+    )
+    from vkr_tpu.passes.ssr import (
+        _hierarchical_march,
+        _reflection_ray_setup,
+    )
+    from vkr_tpu.mathlib.octahedral import decode_normal
+    from vkr_tpu.mathlib.projection import linearize_depth
+
+    h, w = hiz.heights[0], hiz.widths[0]
+    uv = screen_uv_grid(h, w)
+    size = jnp.asarray([w, h], jnp.float32)
+    depth_base = hiz.flat[: h * w].reshape(h, w)
+
+    material = downsample_full_to_half(material_full)[:h, :w]
+    biased = params.max_roughness * material[..., 1]
+    roughness = biased * biased
+
+    view_vec, w0, n, r, ray_start, ray_dir = _reflection_ray_setup(
+        uv, depth_base, normal_half, roughness, params, frame_random,
+        halton,
+    )
+
+    mirror = reflection_type == 0
+    position, _hor, iters = _hierarchical_march(
+        hiz, ray_start, ray_dir, view_vec, w0, params,
+        max_iterations=50 if mirror else 25, find_hor=False,
+        most_detailed_mip=0 if mirror else 1,
+    )
+    max_iters = 50 if mirror else 25
+    valid_hit = iters <= max_iters
+
+    # trace_indirect.comp:106-130 validations
+    ray_step = jnp.abs(position[..., :2] - ray_start[..., :2]) * size
+    valid_hit = valid_hit & (
+        jnp.maximum(ray_step[..., 0], ray_step[..., 1]) >= 2.0
+    )
+    nm = jnp.asarray(params.normal_mat)
+    hit_n_world = decode_normal(
+        bilinear_from_quad(quad_pack(normal_half), 2, position[..., :2])
+    )
+    hit_n = hit_n_world @ nm[:3, :3].T
+    valid_hit = valid_hit & ~(
+        ((hit_n * r).sum(-1) > 0) | ((n * r).sum(-1) < 0)
+    )
+    if mirror:
+        hit_depth = bilinear_from_quad(
+            quad_pack(depth_base), 1, position[..., :2]
+        )[..., 0]
+        hit_z = linearize_depth(hit_depth, params.znear, params.zfar)
+        ray_z = linearize_depth(position[..., 2], params.znear,
+                                params.zfar)
+        valid_hit = valid_hit & ~(
+            (ray_z > hit_z + 0.3) | (ray_z < hit_z - 0.1)
+        )
+
+    in_class = trace_indirect_mask(classification, h, w)
+    if reflection_type != 0:
+        in_class = ~in_class
+    ray_info = jnp.concatenate(
+        [position, jnp.where(valid_hit, depth_base, 1.0)[..., None]], -1
+    )
+    untouched = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0, 1.0]), ray_info.shape
+    )
+    return jnp.where(in_class[..., None], ray_info, untouched)
+
+
 def trace_indirect_mask(classification: TileClassification, height: int,
                         width: int):
     """The dispatch_indirect analog: a per-pixel mask of the reflective
