@@ -155,7 +155,8 @@ def main():
     cam = camera_frame(cfg, view, prev, 0)
     color, state, aux = jitted(scene, state, cam)
     _ = np.asarray(color[0, 0])
-    print(f"compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+    compile_s = time.time() - t0
+    print(f"compile+first: {compile_s:.1f}s", file=sys.stderr)
 
     times = []
     for i in range(1, frames):
@@ -177,7 +178,12 @@ def main():
           f"min/median/max ms: {min(times)*1e3:.1f}/{ms:.1f}/"
           f"{max(times)*1e3:.1f}", file=sys.stderr)
 
-    if os.environ.get("BENCH_BREAKDOWN", "1") != "0":
+    # The breakdown jits 3 MORE segments; on a cold cache through the
+    # tunnel that could double an already ~20-min compile and blow the
+    # driver's window — auto-skip when the fused compile was cold
+    # (BENCH_BREAKDOWN=1 forces it regardless).
+    want_bd = os.environ.get("BENCH_BREAKDOWN", "1")
+    if want_bd != "0" and (compile_s < 900 or want_bd == "1"):
         try:
             _breakdown(scene, state, cam, ssr_res, cfg, interpret)
         except Exception as e:  # never lose the headline JSON line

@@ -24,8 +24,12 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA:CPU compilation cache for the suite: interpret-mode Pallas
 # golden renders dominate the suite's runtime and their compiles are the
-# cost (not execution). Host-local dir (never committed): CPU AOT artifacts
-# embed host CPU features and must not travel between machines.
-jax.config.update("jax_compilation_cache_dir", "/tmp/vkr_jax_cache_cpu")
+# cost (not execution). Host-local dir (never committed) keyed by the CPU
+# feature fingerprint: AOT artifacts embed host features and must not
+# travel between machines (SIGILL risk — core/platform.host_fingerprint).
+from vkr_tpu.core.platform import host_fingerprint
+
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/vkr_jax_cache_cpu" + host_fingerprint())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -110,6 +110,45 @@ class TestGTAOVariants:
                            0.3 / (1.0 / (2 * np.pi)), atol=1e-3)
 
 
+class TestTuning:
+    def test_traced_sliders_no_retrace(self):
+        """frame.Tuning scalars are traced push-constant analogs: two
+        slider values reuse ONE compiled executable (the reference's
+        ImGui sliders update push constants without a pipeline rebuild,
+        gtao.cpp:533)."""
+        import jax
+
+        from vkr_tpu.config import RenderConfig
+        from vkr_tpu.frame import Tuning, build_ssr_resources
+        from vkr_tpu.passes.gtao import gtao_main_mis
+
+        cfg = RenderConfig()
+        t = Tuning.of(cfg)
+        assert t.weight_ratio == cfg.gtao.weight_ratio
+        assert t.shade_max_roughness == cfg.shading.max_roughness
+
+        tv = TestGTAOVariants()
+        depth, noct, p = tv._flat_inputs()
+        res = build_ssr_resources(32)
+        material = jnp.full((*depth.shape, 4), 0.5)
+        ssr_occ = jnp.stack(
+            [jnp.full(depth.shape, 0.3),
+             jnp.full(depth.shape, 1.0 / (2 * np.pi))], -1,
+        )
+
+        @jax.jit
+        def f(w):
+            return gtao_main_mis(depth, noct, material, res.pdf_lut,
+                                 ssr_occ, p, jnp.asarray(0.0),
+                                 weight_ratio=w, use_kernel=False)
+
+        out1 = np.asarray(f(jnp.float32(1.0)))
+        out5 = np.asarray(f(jnp.float32(5.0)))
+        assert f._cache_size() == 1  # no re-jit on slider move
+        assert np.isfinite(out1).all() and np.isfinite(out5).all()
+        assert np.abs(out1 - out5).max() > 1e-4  # the knob is live
+
+
 class TestSimpleSSR:
     def test_mirror_floor(self):
         from vkr_tpu.passes.downsample import build_hiz

@@ -62,6 +62,22 @@ class SSRConfig:
     bilateral_filter: bool = True
     normalize_filter: bool = True
     update_probes: bool = True
+    # settings.update_random / use_blur / max_accumulated_rays
+    # (advanced_ssr.hpp:73-77): the per-frame halton counter advances
+    # modulo max_accumulated_rays ("Temporal rays" slider); use_blur off
+    # pins the blur gaussian at sigma=0.35 (blur.comp:46-48)
+    update_random: bool = True
+    use_blur: bool = True
+    max_accumulated_rays: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class ShadingConfig:
+    """Deferred-shading knobs (defered_shading.hpp:30 min_max_roughness,
+    the reference's Shading UI sliders defered_shading.cpp:122-123)."""
+
+    min_roughness: float = 0.0
+    max_roughness: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,6 +119,7 @@ class RenderConfig:
     camera: CameraConfig = CameraConfig()
     gtao: GTAOConfig = GTAOConfig()
     ssr: SSRConfig = SSRConfig()
+    shading: ShadingConfig = ShadingConfig()
     taa: TAAConfig = TAAConfig()
     probes: ProbeConfig = ProbeConfig()
     raster: RasterConfig = RasterConfig()
@@ -138,6 +155,7 @@ class RenderConfig:
             "camera": CameraConfig,
             "gtao": GTAOConfig,
             "ssr": SSRConfig,
+            "shading": ShadingConfig,
             "taa": TAAConfig,
             "probes": ProbeConfig,
             "raster": RasterConfig,

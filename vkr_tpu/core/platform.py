@@ -10,6 +10,31 @@ from __future__ import annotations
 import os
 
 
+def host_fingerprint() -> str:
+    """Short digest of this host's CPU feature set. XLA:CPU AOT cache
+    entries embed machine features; loading them on a different host
+    warns 'could lead to execution errors such as SIGILL' (observed:
+    /tmp survived a VM migration and served another machine's
+    avx512-tuned blobs). Keying the cache dir by this digest makes a
+    host change start a FRESH cache instead of loading incompatible
+    code."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line
+                    break
+            else:
+                feats = ""
+    except OSError:
+        import platform as _p
+
+        feats = _p.processor() + _p.machine()
+    return "_" + hashlib.sha1(feats.encode()).hexdigest()[:8]
+
+
 def ensure_platform(platform: str | None = None) -> str:
     """Pin the jax backend. Resolution order: explicit arg >
     VKR_PLATFORM env > JAX_PLATFORMS env > leave as-is."""
@@ -33,7 +58,8 @@ def ensure_platform(platform: str | None = None) -> str:
                                    "/root/repo/.jax_cache")
     else:
         cache_dir = os.environ.get("VKR_JAX_CACHE_CPU",
-                                   "/tmp/vkr_jax_cache_cpu")
+                                   "/tmp/vkr_jax_cache_cpu"
+                                   + host_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update(

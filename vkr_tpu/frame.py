@@ -63,6 +63,33 @@ def build_ssr_resources(lut_size: int = 1024) -> SSRResources:
     )
 
 
+class Tuning(NamedTuple):
+    """Per-frame tuning scalars — the reference's ImGui-slider push
+    constants (GTAO weight_ratio gtao.cpp:533, SSSR max-roughness
+    advanced_ssr.cpp:558, shading roughness remap
+    defered_shading.cpp:122-123). Unlike RenderConfig these are TRACED:
+    a slider move re-dispatches the same executable, exactly as a push-
+    constant update re-records a command buffer without a pipeline
+    rebuild. `Tuning.of(cfg)` takes the static config values, which is
+    what the frame uses when no override is passed."""
+
+    weight_ratio: jnp.ndarray        # GTAO MIS strategy weight (1..5)
+    ssr_max_roughness: jnp.ndarray   # SSSR roughness cutoff/bias (0..1)
+    shade_min_roughness: jnp.ndarray  # shading roughness remap lo (0..1)
+    shade_max_roughness: jnp.ndarray  # shading roughness remap hi (0..1)
+    ssr_temporal_rays: jnp.ndarray   # halton counter period, int (1..128)
+
+    @staticmethod
+    def of(cfg: RenderConfig) -> "Tuning":
+        return Tuning(
+            weight_ratio=cfg.gtao.weight_ratio,
+            ssr_max_roughness=cfg.ssr.max_roughness,
+            shade_min_roughness=cfg.shading.min_roughness,
+            shade_max_roughness=cfg.shading.max_roughness,
+            ssr_temporal_rays=cfg.ssr.max_accumulated_rays,
+        )
+
+
 class CameraFrame(NamedTuple):
     """Per-frame camera matrices, host-computed (DrawTAAParams analog,
     scene_renderer.hpp:26-33)."""
@@ -152,14 +179,16 @@ def render_frame(
     tri_grid=None,
     use_pallas: bool = True,
     interpret: bool = False,
+    tuning: Tuning = None,
 ):
     """One frame: returns (final color (H, W, 3), new FrameState, aux dict).
 
     cfg must be static under jit (hash by id: close over it or mark
     static). probe_grid: optional ProbeGrid rendered at startup
     (build_probe_grid); with cfg.enable_probes it feeds indirect
-    reflections into deferred shading (BASELINE config 5).
-    """
+    reflections into deferred shading (BASELINE config 5). tuning:
+    optional TRACED Tuning override of the slider scalars (defaults to
+    the static cfg values — identical trace)."""
     h, w = cfg.height, cfg.width
     gbuf = add_task(
         "GbufferPass",
@@ -173,7 +202,8 @@ def render_frame(
     )
     return shade_frame(gbuf, state, cam, ssr_res, cfg,
                        probe_grid=probe_grid, tri_grid=tri_grid,
-                       use_pallas=use_pallas, interpret=interpret)
+                       use_pallas=use_pallas, interpret=interpret,
+                       tuning=tuning)
 
 
 def frame_mid(
@@ -189,6 +219,7 @@ def frame_mid(
     interpret: bool = False,
     band=None,
     gather_fn=None,
+    tuning: Tuning = None,
 ):
     """The middle of the image-space chain: hi-Z downsample -> SSR
     (trace/filter/blur) -> probe GI -> GTAO (main/filter/accumulate).
@@ -206,6 +237,7 @@ def frame_mid(
     result is identical to the single-device frame. row0 may be traced
     (row0 and band_h must be even: half-res chain + velocity quads)."""
     h, w = cfg.height, cfg.width
+    t = Tuning.of(cfg) if tuning is None else tuning
     banded = band is not None
     if banded:
         row0, band_h = band
@@ -229,14 +261,22 @@ def frame_mid(
         sp = _ssr.SSRParams(
             normal_mat=nm, fovy=cfg.camera.fovy, aspect=cfg.aspect,
             znear=cfg.camera.znear, zfar=cfg.camera.zfar,
-            max_roughness=cfg.ssr.max_roughness,
+            max_roughness=t.ssr_max_roughness,
         )
         pyr = _ssr.pack_pyramid(hiz.mips)
+        # the reference's per-frame halton counter: ++ modulo
+        # max_accumulated_rays when update_random, else frozen
+        # (advanced_ssr.cpp:168-170 / 237-239)
+        frame_random = (
+            state.frame_index % t.ssr_temporal_rays
+            if cfg.ssr.update_random else
+            jnp.zeros_like(state.frame_index)
+        )
         rays, ssr_occ = add_task(
             "SSSR_trace",
             lambda: registry.get("sssr_trace")(
                 pyr, hiz.normal_half, gbuf.material, ssr_res.pdf_lut, sp,
-                state.frame_index, ssr_res.halton,
+                frame_random, ssr_res.halton,
                 max_iterations=cfg.ssr.max_iterations,
                 # interpret=True runs the march's pure-XLA replicas
                 # (bit-faithful to the compiled tables) on CPU.
@@ -262,8 +302,9 @@ def frame_mid(
             inverse_camera=inv_view, prev_inverse_camera=prev_inv_view,
             fovy=cfg.camera.fovy, aspect=cfg.aspect,
             znear=cfg.camera.znear, zfar=cfg.camera.zfar,
-            max_roughness=cfg.ssr.max_roughness,
+            max_roughness=t.ssr_max_roughness,
             accumulate=cfg.ssr.accumulate,
+            disable_blur=not cfg.ssr.use_blur,
         )
         ssr_blurred = add_task(
             "SSSR_blur",
@@ -334,7 +375,7 @@ def frame_mid(
                 lambda: registry.get("gtao_main_mis")(
                     depth_half, hiz.normal_half, gbuf.material,
                     ssr_res.pdf_lut, ssr_occ, gp, base_angle,
-                    weight_ratio=cfg.gtao.weight_ratio,
+                    weight_ratio=t.weight_ratio,
                     reflections_only=cfg.gtao.reflections_only,
                     row0=r0h, band_h=bhh,
                     use_kernel=use_pallas, interpret=interpret),
@@ -401,10 +442,12 @@ def frame_tail(
     interpret: bool = False,
     band=None,
     gather_fn=None,
+    tuning: Tuning = None,
 ):
     """Deferred shading -> TAA -> end-of-frame history remaps
     (main.cpp:416-420). mid: frame_mid's product dict. Returns
     (final color, new FrameState, aux)."""
+    t = Tuning.of(cfg) if tuning is None else tuning
     banded = band is not None
     if banded:
         row0, band_h = band
@@ -423,6 +466,8 @@ def frame_tail(
     shade_params = ShadingParams(
         inverse_camera=inv_view, fovy=cfg.camera.fovy, aspect=cfg.aspect,
         znear=cfg.camera.znear, zfar=cfg.camera.zfar,
+        min_roughness=t.shade_min_roughness,
+        max_roughness=t.shade_max_roughness,
         show_ao=cfg.show_ao_only,
     )
     color = g(add_task(
@@ -486,6 +531,7 @@ def shade_frame(
     interpret: bool = False,
     band=None,
     gather_fn=None,
+    tuning: Tuning = None,
 ):
     """The image-space chain after the G-buffer (hi-Z -> SSR -> GTAO ->
     shading -> TAA -> history) = frame_mid . frame_tail. Split out so
@@ -494,11 +540,12 @@ def shade_frame(
     mid = frame_mid(
         gbuf, state, cam, ssr_res, cfg, probe_grid=probe_grid,
         tri_grid=tri_grid, use_pallas=use_pallas, interpret=interpret,
-        band=band, gather_fn=gather_fn,
+        band=band, gather_fn=gather_fn, tuning=tuning,
     )
     return frame_tail(
         gbuf, mid, state, cam, ssr_res, cfg, use_pallas=use_pallas,
         interpret=interpret, band=band, gather_fn=gather_fn,
+        tuning=tuning,
     )
 
 

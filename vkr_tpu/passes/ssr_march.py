@@ -361,11 +361,18 @@ _M0_CHUNK = 1024  # mip-0 table rows per one-hot chunk
 # Keep 1 until flipped+measured on real TPU — 1 is trace-identical to
 # the validated kernel.
 _B_UNROLL = 1
+# Pack each hi/lo bf16 table pair side-by-side as ONE (R, 256) operand
+# so every fetch is a single MXU einsum (out[:, :128] + out[:, 128:]
+# afterwards — numerically IDENTICAL: each output column is an
+# independent dot product). Halves MXU issue count per fetch at the
+# same FLOPs; flip after the phase_b_ablate 'packed' row confirms the
+# win on real TPU.
+_B_PACKED = False
 
 
 def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
                     h, w, offsets, widths, heights, fovy, aspect,
-                    znear, zfar, start_iter, end_iter):
+                    znear, zfar, start_iter, end_iter, packed):
     """Global hierarchical march, iterations [start_iter, end_iter).
 
     Fetch cost is split by mip class: rays CRUISE at coarse mips, so the
@@ -388,6 +395,19 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
     n_levels = len(offsets)
     R = hi_ref.shape[0]
     R0 = hi0_ref.shape[0]
+
+    def contract(oh, hi_slice, lo_slice):
+        # one fetch = one einsum when packed ([hi | lo] (Rs, 256)
+        # operand), else the hi + residual-lo pair
+        if packed:
+            out = jnp.einsum("slh,hw->slw", oh, hi_slice,
+                             preferred_element_type=jnp.float32)
+            return out[..., :128] + out[..., 128:]
+        part = jnp.einsum("slh,hw->slw", oh, hi_slice,
+                          preferred_element_type=jnp.float32)
+        return part + jnp.einsum("slh,hw->slw", oh, lo_slice,
+                                 preferred_element_type=jnp.float32)
+
     # mip-1 rows [0, row2) / coarse rows [row2, R) — offsets are 128-
     # texel aligned per mip so the split is row-exact
     row2 = offsets[1] >> 7 if n_levels >= 2 else R
@@ -395,7 +415,7 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
         rc_iota = jax.lax.broadcasted_iota(
             jnp.int32, (8, 128, R - row2), 2)
         hi_c = hi_ref[row2:, :]
-        lo_c = lo_ref[row2:, :]
+        lo_c = None if packed else lo_ref[row2:, :]
     if row2 > 0:
         r1_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, row2), 2)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 2)
@@ -434,10 +454,7 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
         if row2 < R:
             # coarse class (mips >= 2): always fetched
             ohc = ((frow - row2)[..., None] == rc_iota).astype(jnp.bfloat16)
-            rs = jnp.einsum("slh,hw->slw", ohc, hi_c,
-                            preferred_element_type=jnp.float32)
-            rs = rs + jnp.einsum("slh,hw->slw", ohc, lo_c,
-                                 preferred_element_type=jnp.float32)
+            rs = contract(ohc, hi_c, lo_c)
         else:
             rs = jnp.zeros((8, 128, 128), jnp.float32)
 
@@ -447,10 +464,8 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
         def fetch1():
             oh1 = (jnp.where(at1, frow, -1)[..., None]
                    == r1_iota).astype(jnp.bfloat16)
-            part = jnp.einsum("slh,hw->slw", oh1, hi_ref[:row2, :],
-                              preferred_element_type=jnp.float32)
-            return part + jnp.einsum("slh,hw->slw", oh1, lo_ref[:row2, :],
-                                     preferred_element_type=jnp.float32)
+            return contract(oh1, hi_ref[:row2, :],
+                            None if packed else lo_ref[:row2, :])
 
         if row2 > 0:
             rs = rs + jax.lax.cond(
@@ -478,12 +493,9 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
                 def hit(s=s):
                     oh0 = ((f0row - s)[..., None] == ck_iota
                            ).astype(jnp.bfloat16)
-                    part = jnp.einsum(
-                        "slh,hw->slw", oh0, hi0_ref[s : s + _M0_CHUNK, :],
-                        preferred_element_type=jnp.float32)
-                    return part + jnp.einsum(
-                        "slh,hw->slw", oh0, lo0_ref[s : s + _M0_CHUNK, :],
-                        preferred_element_type=jnp.float32)
+                    return contract(
+                        oh0, hi0_ref[s : s + _M0_CHUNK, :],
+                        None if packed else lo0_ref[s : s + _M0_CHUNK, :])
 
                 acc = acc + jax.lax.cond(
                     jnp.any(in_chunk), hit,
@@ -698,6 +710,13 @@ def _march_impl(mips, origin, direction, camera_start, w0, row0, *,
     rpad0 = (-flat0.shape[0]) % (128 * _M0_CHUNK)
     flat0 = jnp.pad(flat0, (0, rpad0), constant_values=1.0)
     tbl0_hi, tbl0_lo = hilo(flat0.reshape(-1, 128))
+    if _B_PACKED and not interpret:
+        # single-einsum operands: [hi | lo] (R, 256); the lo refs stay
+        # in the kernel signature as (16, 128) dummies (min bf16 tile)
+        tbl_hi = jnp.concatenate([tbl_hi, tbl_lo], axis=1)
+        tbl0_hi = jnp.concatenate([tbl0_hi, tbl0_lo], axis=1)
+        tbl_lo = tbl_lo[:16]
+        tbl0_lo = tbl0_lo[:16]
 
 
     def run_phase_b(cs_blocks, n_rays, start_iter, end_iter):
@@ -730,6 +749,7 @@ def _march_impl(mips, origin, direction, camera_start, w0, row0, *,
                 widths=tuple(widths), heights=tuple(heights), fovy=fovy,
                 aspect=aspect, znear=znear, zfar=zfar,
                 start_iter=start_iter, end_iter=end_iter,
+                packed=_B_PACKED,
             ),
             grid_spec=grid_b,
             out_shape=jax.ShapeDtypeStruct(

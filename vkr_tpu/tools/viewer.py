@@ -14,6 +14,14 @@ they finish and captures input. Controls mirror the reference app:
   r           hot-reload pass modules (gpu::reload_shaders analog,
               main.cpp:319-321 -> core.registry.reload)
 
+plus the reference's ImGui tuning panels (GTAO gtao.cpp:528-535, SSSR
+advanced_ssr.cpp:556-566, Shading defered_shading.cpp:120-126):
+sliders map to the TRACED `frame.Tuning` scalars — moving one
+re-dispatches the cached executable with new uniforms, exactly like the
+reference's push-constant update (no pipeline rebuild / re-jit);
+checkboxes change static config and re-jit (cached per combination,
+like the reference's specialization constants).
+
 Usage:
     python -m vkr_tpu.tools.viewer --scene colonnade --width 960 \
         --height 544 --port 8799
@@ -39,15 +47,55 @@ _PAGE = """<!doctype html>
 body { background:#111; color:#ccc; font-family:monospace; margin:12px }
 img { image-rendering:pixelated; border:1px solid #333 }
 #hud { margin:6px 0; white-space:pre }
+#panels { display:flex; gap:18px; margin-top:8px }
+fieldset { border:1px solid #333; min-width:240px }
+label { display:block; margin:2px 0 }
+input[type=range] { width:110px; vertical-align:middle }
 </style></head><body>
 <div id="hud">connecting...</div>
 <img id="view" width="%W%" height="%H%">
 <div>WASD/QE move &middot; arrows look &middot; 1 AO-only &middot;
 2 SSR &middot; 3 GTAO &middot; 4 TAA &middot; j jitter &middot; r reload
 (click the page first)</div>
+<div id="panels">
+<fieldset><legend>GTAO</legend>
+<label><input type=checkbox data-t=mis checked> Enable MIS</label>
+<label><input type=checkbox data-t=two_dirs> Use 2 directions</label>
+<label><input type=checkbox data-t=refl_only> Only reflections ao</label>
+<label><input type=range data-s=weight_ratio min=1 max=5 step=0.05
+ value=1> Weight ratio <span id=v_weight_ratio>1.00</span></label>
+<label><button id=clearhist type=button>Clear history</button></label>
+</fieldset>
+<fieldset><legend>SSSR</legend>
+<label><input type=range data-s=ssr_max_roughness min=0 max=1 step=0.01
+ value=1> Max Roughness <span id=v_ssr_max_roughness>1.00</span></label>
+<label><input type=range data-s=ssr_temporal_rays min=1 max=128 step=1
+ value=16> Temporal rays <span id=v_ssr_temporal_rays>16</span></label>
+<label><input type=checkbox data-t=normalize checked> Enable
+ normalization</label>
+<label><input type=checkbox data-t=accumulate checked> Enable
+ accumulation</label>
+<label><input type=checkbox data-t=random checked> Enable random
+ rays</label>
+<label><input type=checkbox data-t=blur checked> Enable blur</label>
+<label><input type=checkbox data-t=bilateral checked> Enable bilateral
+ filter</label>
+</fieldset>
+<fieldset><legend>Shading</legend>
+<label><input type=range data-s=shade_min_roughness min=0 max=1
+ step=0.01 value=0> Min Roughness <span
+ id=v_shade_min_roughness>0.00</span></label>
+<label><input type=range data-s=shade_max_roughness min=0 max=1
+ step=0.01 value=1> Max Roughness <span
+ id=v_shade_max_roughness>1.00</span></label>
+</fieldset>
+</div>
 <script>
 const keys = {};
-onkeydown = e => { keys[e.key.toLowerCase()] = 1;
+onkeydown = e => {
+  if (e.target.tagName === "INPUT" || e.target.tagName === "BUTTON")
+    return;
+  keys[e.key.toLowerCase()] = 1;
   if ("1234jr".includes(e.key)) send({toggle: e.key}); };
 onkeyup = e => { keys[e.key.toLowerCase()] = 0; };
 function send(extra) {
@@ -56,6 +104,18 @@ function send(extra) {
   fetch("/input", {method: "POST", body: JSON.stringify(body)});
 }
 setInterval(send, 50);
+document.querySelectorAll("[data-s]").forEach(el => {
+  el.oninput = () => {
+    document.getElementById("v_" + el.dataset.s).textContent =
+      (+el.value).toFixed(2);
+    send({slider: {[el.dataset.s]: +el.value}});
+  };
+});
+document.querySelectorAll("[data-t]").forEach(el => {
+  el.onchange = () => send({check: {[el.dataset.t]: el.checked}});
+});
+document.getElementById("clearhist").onclick =
+  () => send({clear_history: 1});
 let n = 0;
 async function poll() {
   while (true) {
@@ -85,7 +145,17 @@ class ViewerState:
         self.keys = set()
         self.keys_time = 0.0  # keys expire if the client stops posting
         self.toggles = dict(ssr=True, gtao=True, taa=True, jitter=True,
-                            ao_only=False)
+                            ao_only=False,
+                            # reference ImGui checkboxes (static: re-jit)
+                            mis=True, two_dirs=False, refl_only=False,
+                            normalize=True, accumulate=True,
+                            random=True, blur=True, bilateral=True)
+        # reference ImGui sliders (traced frame.Tuning: no re-jit)
+        self.sliders = dict(weight_ratio=1.0, ssr_max_roughness=1.0,
+                            shade_min_roughness=0.0,
+                            shade_max_roughness=1.0,
+                            ssr_temporal_rays=16)
+        self.clear_history = False
         self.reload_requested = False
         self.png = b""
         self.frame = 0
@@ -151,6 +221,14 @@ def _make_handler(state: ViewerState, width: int, height: int):
                     state.toggles["jitter"] ^= True
                 elif t == "r":
                     state.reload_requested = True
+                for k, v in (msg.get("slider") or {}).items():
+                    if k in state.sliders:
+                        state.sliders[k] = float(v)
+                for k, v in (msg.get("check") or {}).items():
+                    if k in state.toggles:
+                        state.toggles[k] = bool(v)
+                if msg.get("clear_history"):
+                    state.clear_history = True
             self._send(200, "application/json", b"{}")
 
     return Handler
@@ -181,7 +259,7 @@ def main(argv=None):
     from vkr_tpu.core import registry
     from vkr_tpu.core.framestate import FrameState
     from vkr_tpu.core.formats import linear_to_srgb
-    from vkr_tpu.frame import (build_ssr_resources, camera_frame,
+    from vkr_tpu.frame import (Tuning, build_ssr_resources, camera_frame,
                                render_frame)
     from vkr_tpu.passes.gbuffer import upload_scene
     from vkr_tpu.scene.camera import Camera
@@ -212,17 +290,32 @@ def main(argv=None):
     jit_cache = {}
 
     def get_frame_fn(tg):
-        key = (tg["ssr"], tg["gtao"], tg["taa"], tg["ao_only"])
+        key = (tg["ssr"], tg["gtao"], tg["taa"], tg["ao_only"],
+               tg["mis"], tg["two_dirs"], tg["refl_only"],
+               tg["normalize"], tg["accumulate"], tg["bilateral"],
+               tg["random"], tg["blur"])
         if key not in jit_cache:
             cfg = RenderConfig(
                 width=args.width, height=args.height,
                 enable_ssr=tg["ssr"], enable_gtao=tg["gtao"],
                 enable_taa=tg["taa"], show_ao_only=tg["ao_only"],
             )
+            cfg = dataclasses.replace(
+                cfg,
+                gtao=dataclasses.replace(
+                    cfg.gtao, mis=tg["mis"],
+                    two_directions=tg["two_dirs"],
+                    reflections_only=tg["refl_only"]),
+                ssr=dataclasses.replace(
+                    cfg.ssr, normalize_filter=tg["normalize"],
+                    accumulate=tg["accumulate"],
+                    bilateral_filter=tg["bilateral"],
+                    update_random=tg["random"], use_blur=tg["blur"]),
+            )
             fn = registry.track_jit(jax.jit(
-                lambda s, st, c: render_frame(
+                lambda s, st, c, t: render_frame(
                     s, st, c, ssr_res, cfg, use_pallas=not interpret,
-                    interpret=interpret,
+                    interpret=interpret, tuning=t,
                 ),
             ))
             jit_cache[key] = (fn, cfg)
@@ -238,8 +331,15 @@ def main(argv=None):
             if time.time() - state.keys_time > 0.5:
                 keys = set()  # stale input: client stopped posting
             toggles = dict(state.toggles)
+            sliders = dict(state.sliders)
             do_reload = state.reload_requested
             state.reload_requested = False
+            do_clear = state.clear_history
+            state.clear_history = False
+        if do_clear:
+            # GTAO "Clear history" button (gtao.cpp:534): restart
+            # temporal accumulation from scratch
+            fstate = FrameState.initial(args.height, args.width)
         if do_reload:
             mods = registry.reload()
             print(f"hot reload: {len(mods)} modules, jit caches dropped",
@@ -262,8 +362,18 @@ def main(argv=None):
         view = cam.view_matrix()
         cframe = camera_frame(cfg, view, prev_view, i,
                               use_jitter=toggles["jitter"])
+        tun = Tuning(
+            weight_ratio=np.float32(sliders["weight_ratio"]),
+            ssr_max_roughness=np.float32(sliders["ssr_max_roughness"]),
+            shade_min_roughness=np.float32(
+                sliders["shade_min_roughness"]),
+            shade_max_roughness=np.float32(
+                sliders["shade_max_roughness"]),
+            ssr_temporal_rays=np.int32(
+                max(1, int(sliders["ssr_temporal_rays"]))),
+        )
         t0 = time.time()
-        color, fstate, _ = fn(scene, fstate, cframe)
+        color, fstate, _ = fn(scene, fstate, cframe, tun)
         rgb = np.asarray(
             np.clip(linear_to_srgb(np.asarray(color)) * 255, 0, 255)
         ).astype(np.uint8)
