@@ -182,8 +182,8 @@ def main():
     # tunnel that could double an already ~20-min compile and blow the
     # driver's window — auto-skip when the fused compile was cold
     # (BENCH_BREAKDOWN=1 forces it regardless).
-    want_bd = os.environ.get("BENCH_BREAKDOWN", "1")
-    if want_bd != "0" and (compile_s < 900 or want_bd == "1"):
+    want_bd = os.environ.get("BENCH_BREAKDOWN", "auto")
+    if want_bd == "1" or (want_bd == "auto" and compile_s < 900):
         try:
             _breakdown(scene, state, cam, ssr_res, cfg, interpret)
         except Exception as e:  # never lose the headline JSON line
