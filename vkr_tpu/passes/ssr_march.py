@@ -355,24 +355,17 @@ def _phase_a_xla(cons, mip0, *, h, w, hp, wp, fovy, aspect, znear, zfar,
 # ------------------------------------------------------------ phase B
 
 _M0_CHUNK = 1024  # mip-0 table rows per one-hot chunk
-# 2 composes two iterations per while-loop trip (halves the Mosaic
-# loop + cond fixed overhead; segment lengths are multiples of 16 so
-# no overrun, and the early-exit check just coarsens to every 2 iters).
-# Keep 1 until flipped+measured on real TPU — 1 is trace-identical to
-# the validated kernel.
-_B_UNROLL = 1
-# Pack each hi/lo bf16 table pair side-by-side as ONE (R, 256) operand
-# so every fetch is a single MXU einsum (out[:, :128] + out[:, 128:]
-# afterwards — numerically IDENTICAL: each output column is an
-# independent dot product). Halves MXU issue count per fetch at the
-# same FLOPs; flip after the phase_b_ablate 'packed' row confirms the
-# win on real TPU.
-_B_PACKED = False
+# Ablations measured perf-NEUTRAL on v5e and therefore NOT taken
+# (experiments/phase_b_ablate.py, 2026-08-18): 2x loop-body unroll
+# (5.55 vs 5.57 us/tile-iter) and packing each hi/lo pair as one
+# [hi | lo] (R, 256) einsum operand (5.58 us). The loop skeleton
+# itself is free (nofetch 0.06 us/tile-iter) — all cost is in the
+# fetch machinery, so the levers are fewer fetches, not cheaper trips.
 
 
 def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
                     h, w, offsets, widths, heights, fovy, aspect,
-                    znear, zfar, start_iter, end_iter, packed):
+                    znear, zfar, start_iter, end_iter):
     """Global hierarchical march, iterations [start_iter, end_iter).
 
     Fetch cost is split by mip class: rays CRUISE at coarse mips, so the
@@ -397,12 +390,7 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
     R0 = hi0_ref.shape[0]
 
     def contract(oh, hi_slice, lo_slice):
-        # one fetch = one einsum when packed ([hi | lo] (Rs, 256)
-        # operand), else the hi + residual-lo pair
-        if packed:
-            out = jnp.einsum("slh,hw->slw", oh, hi_slice,
-                             preferred_element_type=jnp.float32)
-            return out[..., :128] + out[..., 128:]
+        # one fetch = the bf16 hi + residual-lo einsum pair
         part = jnp.einsum("slh,hw->slw", oh, hi_slice,
                           preferred_element_type=jnp.float32)
         return part + jnp.einsum("slh,hw->slw", oh, lo_slice,
@@ -415,7 +403,7 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
         rc_iota = jax.lax.broadcasted_iota(
             jnp.int32, (8, 128, R - row2), 2)
         hi_c = hi_ref[row2:, :]
-        lo_c = None if packed else lo_ref[row2:, :]
+        lo_c = lo_ref[row2:, :]
     if row2 > 0:
         r1_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, row2), 2)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 2)
@@ -464,8 +452,7 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
         def fetch1():
             oh1 = (jnp.where(at1, frow, -1)[..., None]
                    == r1_iota).astype(jnp.bfloat16)
-            return contract(oh1, hi_ref[:row2, :],
-                            None if packed else lo_ref[:row2, :])
+            return contract(oh1, hi_ref[:row2, :], lo_ref[:row2, :])
 
         if row2 > 0:
             rs = rs + jax.lax.cond(
@@ -495,7 +482,7 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
                            ).astype(jnp.bfloat16)
                     return contract(
                         oh0, hi0_ref[s : s + _M0_CHUNK, :],
-                        None if packed else lo0_ref[s : s + _M0_CHUNK, :])
+                        lo0_ref[s : s + _M0_CHUNK, :])
 
                 acc = acc + jax.lax.cond(
                     jnp.any(in_chunk), hit,
@@ -513,9 +500,8 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
                       mpx=mpx, mpy=mpy)
         return i + 1, st
 
-    bodyfn = body if _B_UNROLL == 1 else (lambda c: body(body(c)))
     _, st = jax.lax.while_loop(
-        cond, bodyfn, (jnp.asarray(start_iter, jnp.int32), st)
+        cond, body, (jnp.asarray(start_iter, jnp.int32), st)
     )
     for i, k in enumerate(_ST):
         out_ref[i] = st[k].astype(jnp.float32)
@@ -710,14 +696,6 @@ def _march_impl(mips, origin, direction, camera_start, w0, row0, *,
     rpad0 = (-flat0.shape[0]) % (128 * _M0_CHUNK)
     flat0 = jnp.pad(flat0, (0, rpad0), constant_values=1.0)
     tbl0_hi, tbl0_lo = hilo(flat0.reshape(-1, 128))
-    if _B_PACKED and not interpret:
-        # single-einsum operands: [hi | lo] (R, 256); the lo refs stay
-        # in the kernel signature as (16, 128) dummies (min bf16 tile)
-        tbl_hi = jnp.concatenate([tbl_hi, tbl_lo], axis=1)
-        tbl0_hi = jnp.concatenate([tbl0_hi, tbl0_lo], axis=1)
-        tbl_lo = tbl_lo[:16]
-        tbl0_lo = tbl0_lo[:16]
-
 
     def run_phase_b(cs_blocks, n_rays, start_iter, end_iter):
         if interpret:
@@ -749,7 +727,6 @@ def _march_impl(mips, origin, direction, camera_start, w0, row0, *,
                 widths=tuple(widths), heights=tuple(heights), fovy=fovy,
                 aspect=aspect, znear=znear, zfar=zfar,
                 start_iter=start_iter, end_iter=end_iter,
-                packed=_B_PACKED,
             ),
             grid_spec=grid_b,
             out_shape=jax.ShapeDtypeStruct(
