@@ -59,6 +59,11 @@ def _breakdown(scene, state, cam, ssr_res, cfg, interpret, reps=4):
     _ = np.asarray(tail[0][0, 0])  # sync compiles
 
     def timed(name, fn, sync):
+        # One untimed warm rep per segment: the first execution of a fresh
+        # executable through the tunnel can carry seconds of one-time
+        # upload/dispatch cost (run-1 printed a 2389 ms "mid" because of
+        # it) — never fold that into the per-rep number.
+        _ = np.asarray(sync(fn()))
         out = None
         t0 = _time.time()
         for _i in range(reps):
@@ -79,6 +84,34 @@ def _breakdown(scene, state, cam, ssr_res, cfg, interpret, reps=4):
                    lambda o: o[0][0, 0])
     print(f"breakdown sum: {total:.1f} ms (segment dispatch adds "
           f"~2.3 ms/call; fused frame is the headline)", file=sys.stderr)
+
+
+BENCH_EYE = (-18.0, 2.2, -2.0)
+BENCH_CENTER = (4.0, 1.8, 0.5)
+
+
+def bench_orbit_view(i: int):
+    """Frame i's view matrix: a slow orbit of BENCH_EYE around
+    BENCH_CENTER. The orbit rate must keep the eye INSIDE the hall: the
+    walls sit at z = +-6 and the orbit radius is ~22.1, so eye z =
+    0.5 - 22*sin(ang) - 2.5*cos(ang) crosses the z=-6 wall plane at
+    ang ~= 0.185. The old 0.02*i rate pushed frames >= 10 OUTSIDE the
+    enclosure (the view became the wall's exterior + background; coverage
+    collapsed to 0.579 and under-stated the workload — round-2/3 medians
+    carried ~6 such cheap frames). 0.01*i keeps all 16 frames inside
+    (max ang 0.15 -> eye z -5.25). tests/test_raster.py guards this.
+    """
+    import numpy as np
+
+    from vkr_tpu.mathlib import look_at
+
+    eye = np.array(BENCH_EYE, np.float32)
+    center = np.array(BENCH_CENTER, np.float32)
+    ang = 0.01 * i
+    rot = np.array(
+        [[np.cos(ang), 0, -np.sin(ang)], [0, 1, 0],
+         [np.sin(ang), 0, np.cos(ang)]], np.float32)
+    return look_at(center + rot @ (eye - center), center, (0, -1, 0))
 
 
 def main():
@@ -139,15 +172,7 @@ def main():
         donate_argnums=(1,),
     )
 
-    eye = np.array([-18.0, 2.2, -2.0], np.float32)
-    center = np.array([4.0, 1.8, 0.5], np.float32)
-
-    def view_at(i):
-        ang = 0.02 * i
-        rot = np.array(
-            [[np.cos(ang), 0, -np.sin(ang)], [0, 1, 0],
-             [np.sin(ang), 0, np.cos(ang)]], np.float32)
-        return look_at(center + rot @ (eye - center), center, (0, -1, 0))
+    view_at = bench_orbit_view
 
     state = FrameState.initial(height, width)
     view = prev = view_at(0)
@@ -177,6 +202,13 @@ def main():
     print(f"coverage: {cov:.3f}  frames: {len(times)}  "
           f"min/median/max ms: {min(times)*1e3:.1f}/{ms:.1f}/"
           f"{max(times)*1e3:.1f}", file=sys.stderr)
+    if cov < 0.98:
+        # The enclosed hall must fill the frame; a coverage drop means the
+        # camera path or scene regressed and the timing under-states the
+        # real workload (this caught the orbit exiting the hall wall).
+        print(f"ERROR: coverage {cov:.3f} < 0.98 — bench workload "
+              f"regressed (camera left the enclosure?)", file=sys.stderr)
+        sys.exit(1)
 
     # The breakdown jits 3 MORE segments; on a cold cache through the
     # tunnel that could double an already ~20-min compile and blow the

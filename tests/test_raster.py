@@ -268,3 +268,51 @@ def test_peel_requires_merged_kernel():
     with pytest.raises(ValueError, match="peel_depth"):
         rasterize(clip, idx, width=64, height=32, use_pallas=True,
                   interpret=True, peel_depth=peel)
+
+
+class TestBenchOrbitEnclosure:
+    """The bench camera must stay inside the enclosed hall for ALL frames
+    (caught live: the old 0.02*i orbit rate exited through the z=-6 wall
+    at frame 10, collapsing coverage to 0.579 — the frame then showed the
+    wall's exterior + background and the bench under-stated the workload).
+    Renders the bench geometry LAYOUT (hall_l=60, walls at z=+-6, end
+    caps) at tiny tessellation/res with bench.bench_orbit_view."""
+
+    def test_orbit_frames_fully_covered(self):
+        import jax
+
+        from bench import BENCH_CENTER, BENCH_EYE, bench_orbit_view
+        from vkr_tpu.config import RenderConfig
+        from vkr_tpu.core import registry
+        from vkr_tpu.frame import camera_frame
+        from vkr_tpu.passes.gbuffer import upload_scene
+        from vkr_tpu.scene.procedural import colonnade_scene
+
+        width, height = 256, 128
+        cfg = RenderConfig(width=width, height=height)
+        scene = upload_scene(
+            colonnade_scene(columns=24, tessellation=8, tex_size=32)
+        )
+
+        # Geometric guard first: the eye must stay strictly inside the
+        # hall volume (|z| < 6, |x| < 60) for every bench frame.
+        eye0 = np.array(BENCH_EYE, np.float32)
+        center = np.array(BENCH_CENTER, np.float32)
+        for i in range(16):
+            view = np.asarray(bench_orbit_view(i))
+            # look_at's camera position: solve R @ eye = -t
+            rot, t = view[:3, :3], view[:3, 3]
+            eye = -rot.T @ t
+            assert abs(eye[2]) < 5.9, f"frame {i}: eye z={eye[2]}"
+            assert abs(eye[0]) < 59.0, f"frame {i}: eye x={eye[0]}"
+
+        jit_gbuf = jax.jit(lambda s, c: registry.get("gbuf_opaque_taa")(
+            s, c.mvp, c.prev_mvp, c.jitter, width=width, height=height,
+            quantize=False, use_pallas=True, interpret=True,
+        ))
+        for i in (1, 8, 15):  # early / mid / last bench frame
+            cam = camera_frame(cfg, bench_orbit_view(i),
+                               bench_orbit_view(i - 1), i)
+            d = np.asarray(jit_gbuf(scene, cam).depth)
+            cov = float(np.mean(d < 1.0))
+            assert cov == 1.0, f"frame {i}: coverage {cov}"
