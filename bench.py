@@ -183,14 +183,39 @@ def main():
     compile_s = time.time() - t0
     print(f"compile+first: {compile_s:.1f}s", file=sys.stderr)
 
+    # Frames-in-flight pipelining (the reference keeps 2-3 frames in
+    # flight through its swapchain/fences; PARITY.md §2.5 row): dispatch
+    # frame i+1 BEFORE syncing frame i so the ~20-35 ms host<->device
+    # round-trip of each readback overlaps device execution. Per-frame
+    # time = interval between successive frame COMPLETIONS — the
+    # sustained rate a swapchain would present at. BENCH_PIPELINE=0
+    # restores the serial dispatch->sync latency measurement.
+    pipelined = os.environ.get("BENCH_PIPELINE", "1") == "1"
     times = []
-    for i in range(1, frames):
-        prev, view = view, view_at(i)
-        cam = camera_frame(cfg, view, prev, i)
-        t0 = time.time()
-        color, state, aux = jitted(scene, state, cam)
-        _ = np.asarray(color[0, 0])  # sync (block_until_ready is a no-op
-        times.append(time.time() - t0)  # on the axon tunnel)
+    if pipelined:
+        prev_color = t_mark = None
+        for i in range(1, frames):
+            prev, view = view, view_at(i)
+            cam = camera_frame(cfg, view, prev, i)
+            color, state, aux = jitted(scene, state, cam)
+            if prev_color is None:
+                t_mark = time.time()
+            else:
+                _ = np.asarray(prev_color[0, 0])  # frame i-1 completed
+                t = time.time()
+                times.append(t - t_mark)
+                t_mark = t
+            prev_color = color
+        _ = np.asarray(prev_color[0, 0])
+        times.append(time.time() - t_mark)
+    else:
+        for i in range(1, frames):
+            prev, view = view, view_at(i)
+            cam = camera_frame(cfg, view, prev, i)
+            t0 = time.time()
+            color, state, aux = jitted(scene, state, cam)
+            _ = np.asarray(color[0, 0])  # sync (block_until_ready is a
+            times.append(time.time() - t0)  # no-op on the axon tunnel)
 
     ms = float(np.median(times)) * 1e3
     cov = float(np.mean(np.asarray(state.prev_depth) < 1.0))
