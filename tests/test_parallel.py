@@ -98,8 +98,14 @@ def test_band_viewport_raster_matches_full():
 
 def test_band_sharded_frame_bit_matches_single_device():
     """parallel/band.py: the band-sharded FULL frame (sharded raster +
-    gathered image-space chain) is bitwise identical to the
-    single-device frame."""
+    gathered image-space chain) matches the single-device frame.
+
+    The raster-owned history (prev_depth) must be BITWISE identical
+    (band-exact viewports, no float translation). The shaded color /
+    TAA chain is held to 1e-6 — the MIS GTAO default path introduced a
+    last-ulp reassociation between the banded and full graphs (measured
+    max 9.3e-10 on 0.08% of pixels; display precision is 1/255 ~ 4e-3),
+    which no bitwise claim survives."""
     import dataclasses
 
     import jax
@@ -137,10 +143,11 @@ def test_band_sharded_frame_bit_matches_single_device():
         use_pallas=True, interpret=True,
     )
 
-    np.testing.assert_array_equal(np.asarray(color_b),
-                                  np.asarray(color_1))
-    np.testing.assert_array_equal(np.asarray(state_b.taa_history),
-                                  np.asarray(state_1.taa_history))
+    np.testing.assert_allclose(np.asarray(color_b),
+                               np.asarray(color_1), atol=1e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(state_b.taa_history),
+                               np.asarray(state_1.taa_history),
+                               atol=1e-6, rtol=0)
     np.testing.assert_array_equal(np.asarray(state_b.prev_depth),
                                   np.asarray(state_1.prev_depth))
     assert int(np.asarray(aux_b["overflow"])) == 0
