@@ -33,3 +33,34 @@ jax.config.update("jax_compilation_cache_dir",
                   "/tmp/vkr_jax_cache_cpu" + host_fingerprint())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# ---- slow-test opt-in (default run stays under the ~15-min bar) ----
+# The multi-minute tail is a handful of FULL-frame interpret-mode
+# renders (band-sharded frames, the textured golden, probe-GI frame).
+# They are marked @pytest.mark.slow and SKIPPED by default; run the
+# whole suite with:  python -m pytest tests/ --runslow
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (multi-minute full-frame "
+             "interpret renders)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute full-frame interpret render; "
+        "excluded unless --runslow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -8,6 +8,7 @@ import pytest
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
+@pytest.mark.slow
 def test_view_parallel_rendering():
     import dataclasses
 
@@ -96,6 +97,7 @@ def test_band_viewport_raster_matches_full():
     np.testing.assert_array_equal(depth_bands, np.asarray(full.depth))
 
 
+@pytest.mark.slow
 def test_band_sharded_frame_bit_matches_single_device():
     """parallel/band.py: the band-sharded FULL frame (sharded raster +
     gathered image-space chain) matches the single-device frame.
@@ -153,6 +155,7 @@ def test_band_sharded_frame_bit_matches_single_device():
     assert int(np.asarray(aux_b["overflow"])) == 0
 
 
+@pytest.mark.slow
 def test_band_oracle_resolve_matches_full_frame():
     """Band-exact mode with the XLA-fallback resolve (use_pallas=False):
     the edge/depth planes stay in full-frame coordinates, so the oracle's
@@ -189,6 +192,7 @@ def test_band_oracle_resolve_matches_full_frame():
             )
 
 
+@pytest.mark.slow
 def test_band_frame_with_ray_query_gtao():
     """Band mode with the ray-query GTAO variant (gtao_rt row-origin
     path) must match the single-device frame."""

@@ -110,6 +110,7 @@ class TestProbeRenderer:
 
 
 class TestProbeGIFrame:
+    @pytest.mark.slow
     def test_probe_gi_feeds_indirect_lighting(self):
         """BASELINE config 5: the full frame graph with enable_probes
         consumes a startup probe grid as indirect reflections — output
