@@ -154,3 +154,26 @@ class TestProbeGIFrame:
         diff = np.abs(l - b).max(-1)
         # probe reflections brighten a visible fraction of the frame
         assert (diff > 1e-4).mean() > 0.02
+
+
+class TestProbeCompose:
+    def test_black_but_valid_ssr_survives(self):
+        """compose_probe_reflections keys on TRACE validity (rays w
+        channel), not on blurred color: a valid-but-black SSR pixel must
+        NOT be overwritten by probe GI (VERDICT r4)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vkr_tpu.frame import compose_probe_reflections
+
+        ssr = jnp.zeros((2, 2, 3), jnp.float32)  # black everywhere
+        rays = jnp.zeros((2, 2, 4), jnp.float32)
+        rays = rays.at[0, 0, 3].set(0.5)   # valid hit (src depth < 1)
+        rays = rays.at[..., 3].set(
+            jnp.where(jnp.arange(2)[:, None] + jnp.arange(2)[None, :] == 0,
+                      0.5, 1.0))           # only (0,0) valid
+        probe = jnp.ones((2, 2, 3), jnp.float32)
+        out = np.asarray(compose_probe_reflections(ssr, rays, probe))
+        assert np.all(out[0, 0] == 0.0)    # valid black SSR kept
+        assert np.all(out[0, 1] == 1.0)    # invalid pixels probe-filled
+        assert np.all(out[1, 0] == 1.0)

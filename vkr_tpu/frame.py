@@ -168,6 +168,20 @@ def _rt_direction_table(count: int):
     return ao_ray_directions(count)
 
 
+def compose_probe_reflections(ssr_blurred, rays, probe_rgb):
+    """Fill SSR-empty pixels with probe-GI reflections.
+
+    "Empty" is decided by the TRACE's validity channel (rays w = source
+    depth, 1.0 = no hit, ssr.py trace docstring), NOT by the blurred color
+    being black: a legitimately-black valid reflection survives probe
+    compositing. The reference never composes both (probes are not in its
+    main loop, trace_probe/shader.comp:73-84); this fill is our extension
+    for cfg.enable_probes + enable_ssr (tracked in PARITY.md).
+    """
+    empty = rays[..., 3:4] >= 1.0
+    return jnp.where(empty, probe_rgb, ssr_blurred)
+
+
 def render_frame(
     scene: SceneDevice,
     state: FrameState,
@@ -337,8 +351,8 @@ def frame_mid(
         )
         probe_rgb = probe_refl[..., :3] * probe_refl[..., 3:4]
         if cfg.enable_ssr:
-            empty = (ssr_blurred.sum(-1, keepdims=True) == 0.0)
-            ssr_blurred = jnp.where(empty, probe_rgb, ssr_blurred)
+            ssr_blurred = compose_probe_reflections(
+                ssr_blurred, rays, probe_rgb)
         else:
             ssr_blurred = probe_rgb
     ssr_blurred = g(ssr_blurred)
