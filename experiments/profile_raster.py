@@ -80,9 +80,13 @@ def main():
     pair_setup = bench("expand_pair_rows", jax.jit(
         RR.expand_pair_rows), tri_rows, pair_tri)
 
-    bench("gbuf kernel", jax.jit(lambda ps, ss, sc: GK.gbuf_tiles(
-        ps, ss, sc, None, None, width=W, height=H)),
+    bench("gbuf kernel", jax.jit(
+        lambda ps, ss, sc: GK.gbuf_tiles(
+            ps, ss, sc, None, None, width=W, height=H)),
         pair_setup, seg_starts, seg_counts)
+    # round-5 note: a front-to-back (early-z break) variant was measured
+    # here and reverted — kernel delta ~0 (skippable pairs 1.2%, see
+    # experiments/earlyz_potential.py) vs +26 ms of sort+gather.
 
 
 if __name__ == "__main__":
