@@ -84,6 +84,14 @@ def main():
         lambda ps, ss, sc: GK.gbuf_tiles(
             ps, ss, sc, None, None, width=W, height=H)),
         pair_setup, seg_starts, seg_counts)
+    # visibility-only walk = "pass 1" of a deferred-resolve two-pass
+    # scheme (latch depth+id only; 13 scalar loads + ~22 vec ops per pair
+    # vs the merged kernel's 44 loads + ~53 ops)
+    from vkr_tpu.raster import kernel as RK
+    bench("visibility kernel", jax.jit(
+        lambda ps, ss, sc: RK.rasterize_tiles(
+            ps, ss, sc, None, width=W, height=H)),
+        pair_setup, seg_starts, seg_counts)
     # round-5 note: a front-to-back (early-z break) variant was measured
     # here and reverted — kernel delta ~0 (skippable pairs 1.2%, see
     # experiments/earlyz_potential.py) vs +26 ms of sort+gather.

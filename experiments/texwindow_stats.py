@@ -1,12 +1,14 @@
 """Per-(8,128)-tile texture-sampling coherence on the bench camera —
-decides the tile-window texture engine's window shape and fallback rate.
+sizes the tile-window texture engine and its fallback paths.
 
-For each pixel tile reports:
-  * number of distinct material-pair indices
-  * mip-level spread (max - min rounded level)
-  * texel bbox (dy, dx) of the tile's samples at the tile's MIN level,
-    in that level's texel units, unwrapped (REPEAT handled by taking
-    the bbox of uv*size without mod, since uv itself is continuous)
+Per tile, pixels are grouped into (pair, level) CLASSES. The engine
+design under test:
+  * top-K classes get a mip-matched VMEM window each (+ the l+1 window
+    for trilinear);
+  * pixels at COARSE levels (>= L_GLOBAL) read a globally VMEM-resident
+    all-pairs coarse table instead (levels >= 5 of every pair fit VMEM);
+  * remaining stragglers fall back to a tile-compacted dense gather —
+    priced by the fraction of TILES containing any straggler.
 
     PYTHONPATH=/root/repo:/root/.axon_site python experiments/texwindow_stats.py
 """
@@ -15,10 +17,15 @@ from __future__ import annotations
 
 import os
 import sys
+from collections import Counter
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
+
+L_GLOBAL = 5
+WINY, WINX = 48, 224   # per-class window texels (level-l)
+TOPK = 2
 
 
 def main():
@@ -68,7 +75,6 @@ def main():
 
     th, tw = 8, 128
     ty, tx = H // th, W // tw
-    covered = mat >= 0
 
     def tiles(a):
         return a[: ty * th, : tx * tw].reshape(ty, th, tx, tw) \
@@ -76,46 +82,63 @@ def main():
 
     pid_t = tiles(pidx)
     lvl_t = tiles(level)
-    cov_t = tiles(covered)
+    cov_t = tiles(mat >= 0)
     u_t = tiles(uv[..., 0])
     v_t = tiles(uv[..., 1])
 
-    n_pairs = np.zeros(ty * tx, np.int32)
-    lspread = np.zeros(ty * tx, np.int32)
-    bby = np.zeros(ty * tx, np.int32)
-    bbx = np.zeros(ty * tx, np.int32)
-    for t in range(ty * tx):
+    n_tiles = ty * tx
+    pix_total = 0
+    pix_window = 0       # covered by a top-K class window
+    pix_global = 0       # coarse level >= L_GLOBAL
+    pix_straggler = 0
+    tiles_with_straggler = 0
+    windows_used = []
+
+    for t in range(n_tiles):
         c = cov_t[t]
         if not c.any():
             continue
         p = pid_t[t][c]
-        n_pairs[t] = len(np.unique(p))
         lv = lvl_t[t][c]
-        lspread[t] = lv.max() - lv.min()
-        s = sizes[min(int(lv.min()), len(sizes) - 1)]
-        uu = u_t[t][c] * s
-        vv = v_t[t][c] * s
-        bbx[t] = int(np.ceil(uu.max() - uu.min())) + 2
-        bby[t] = int(np.ceil(vv.max() - vv.min())) + 2
+        uu = u_t[t][c]
+        vv = v_t[t][c]
+        pix_total += int(c.sum())
 
-    act = cov_t.any(1)
-    n = act.sum()
-    print(f"tiles {ty * tx} active {n}")
-    for name, a in (("distinct pairs", n_pairs), ("level spread", lspread)):
-        va = a[act]
-        print(f"{name}: p50 {np.percentile(va, 50):.0f} "
-              f"p90 {np.percentile(va, 90):.0f} "
-              f"p99 {np.percentile(va, 99):.0f} max {va.max()}")
-    for name, a in (("bbox dy", bby), ("bbox dx", bbx)):
-        va = a[act]
-        print(f"{name}: p50 {np.percentile(va, 50):.0f} "
-              f"p90 {np.percentile(va, 90):.0f} "
-              f"p99 {np.percentile(va, 99):.0f} max {va.max()}")
-    # engine viability: 1 pair, spread <= 1, bbox fits window
-    for wy, wx in ((48, 224), (64, 256), (96, 320)):
-        ok = act & (n_pairs == 1) & (lspread <= 1) & (bby <= wy) \
-            & (bbx <= wx)
-        print(f"window {wy}x{wx}: fit {ok.sum() / max(n, 1):.1%}")
+        fine = lv < L_GLOBAL
+        pix_global += int((~fine).sum())
+
+        # top-K fine classes by pixel count
+        cls = Counter(zip(p[fine].tolist(), lv[fine].tolist()))
+        straggle = 0
+        used = 0
+        for (cp, cl), cnt in cls.most_common():
+            m = fine & (p == cp) & (lv == cl)
+            s = sizes[min(cl, len(sizes) - 1)]
+            du = np.ceil((uu[m] * s).max() - (uu[m] * s).min()) + 2
+            dv = np.ceil((vv[m] * s).max() - (vv[m] * s).min()) + 2
+            if used < TOPK and dv <= WINY and du <= WINX:
+                pix_window += cnt
+                used += 1
+            else:
+                straggle += cnt
+        windows_used.append(used)
+        if straggle:
+            pix_straggler += straggle
+            tiles_with_straggler += 1
+
+    print(f"pixels: total {pix_total} window {pix_window / pix_total:.1%} "
+          f"global-coarse {pix_global / pix_total:.1%} "
+          f"straggler {pix_straggler / pix_total:.2%}")
+    print(f"tiles with stragglers: {tiles_with_straggler}/{n_tiles} "
+          f"({tiles_with_straggler / n_tiles:.1%})")
+    wu = np.asarray(windows_used)
+    print(f"windows/tile: mean {wu.mean():.2f} "
+          f"(1 window {np.mean(wu == 1):.1%}, 2 {np.mean(wu == 2):.1%})")
+    # coarse global table footprint: levels >= L_GLOBAL of every pair
+    n_pairs = int(np.asarray(scene.tex.mat_pair).max()) + 1
+    texels = sum(int(sizes[l]) ** 2 for l in range(L_GLOBAL, n_levels))
+    print(f"global coarse table: {n_pairs} pairs x {texels} texels x 32B "
+          f"= {n_pairs * texels * 32 / 1024:.0f} KB")
 
 
 if __name__ == "__main__":

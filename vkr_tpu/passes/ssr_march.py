@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -366,7 +367,7 @@ _M0_WIN = 256     # mip-0 dynamic-window rows (16-aligned bf16 VMEM slice)
 
 def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
                     h, w, offsets, widths, heights, fovy, aspect,
-                    znear, zfar, start_iter, end_iter):
+                    znear, zfar, start_iter, end_iter, ablate=""):
     """Global hierarchical march, iterations [start_iter, end_iter).
 
     Fetch cost is split by mip class: rays CRUISE at coarse mips, so the
@@ -441,7 +442,7 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
         yi = jnp.clip(yi, 0, hl - 1)
         flat = off + yi * wl + xi
         frow = flat >> 7
-        if row2 < R:
+        if row2 < R and "nocoarse" not in ablate:
             # coarse class (mips >= 2): always fetched
             ohc = ((frow - row2)[..., None] == rc_iota).astype(jnp.bfloat16)
             rs = contract(ohc, hi_c, lo_c)
@@ -456,12 +457,15 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
                    == r1_iota).astype(jnp.bfloat16)
             return contract(oh1, hi_ref[:row2, :], lo_ref[:row2, :])
 
-        if row2 > 0:
+        if row2 > 0 and "nomip1" not in ablate:
             rs = rs + jax.lax.cond(
                 jnp.any(at1), fetch1,
                 lambda: jnp.zeros((8, 128, 128), jnp.float32))
-        colh = (flat & 127)[..., None] == col_iota
-        surface_z = jnp.where(colh, rs, 0.0).sum(-1)
+        if "nocol" in ablate:
+            surface_z = rs[:, :, 0]
+        else:
+            colh = (flat & 127)[..., None] == col_iota
+            surface_z = jnp.where(colh, rs, 0.0).sum(-1)
 
         # exact mip-0 fetch for rays at the finest level (skipped when
         # the whole tile has none this iteration)
@@ -518,9 +522,10 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
                 lambda: jnp.zeros((8, 128, 128), jnp.float32))
             return jnp.where(f0col, acc, 0.0).sum(-1)
 
-        z0 = jax.lax.cond(jnp.any(at0), fetch0,
-                          lambda: jnp.zeros((8, 128), jnp.float32))
-        surface_z = jnp.where(at0, z0, surface_z)
+        if "nomip0" not in ablate:
+            z0 = jax.lax.cond(jnp.any(at0), fetch0,
+                              lambda: jnp.zeros((8, 128), jnp.float32))
+            surface_z = jnp.where(at0, z0, surface_z)
 
         st, _ = _step(c, st, surface_z, i.astype(jnp.float32),
                       mip0sample=False, min_mip=0, fovy=fovy,
@@ -756,6 +761,10 @@ def _march_impl(mips, origin, direction, camera_start, w0, row0, *,
                 widths=tuple(widths), heights=tuple(heights), fovy=fovy,
                 aspect=aspect, znear=znear, zfar=zfar,
                 start_iter=start_iter, end_iter=end_iter,
+                # measurement-only: experiments/march_inner.py ablations
+                # (VKR_MARCH_ABLATE="nocoarse,nomip1,nocol,nomip0" subsets);
+                # production traces always see "" (same lowered HLO)
+                ablate=os.environ.get("VKR_MARCH_ABLATE", ""),
             ),
             grid_spec=grid_b,
             out_shape=jax.ShapeDtypeStruct(
