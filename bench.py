@@ -212,8 +212,27 @@ def main():
     view = prev = view_at(0)
     t0 = time.time()
     cam = camera_frame(cfg, view, prev, 0)
-    color, state, aux = jitted(scene, state, cam)
-    _ = np.asarray(color[0, 0])
+    if os.environ.get("BENCH_STARTUP_PROFILE", "0") == "1":
+        # split compile+first into trace+lower / compile (persistent-
+        # cache hit when warm) / first dispatch+run (executable upload
+        # through the tunnel) — the VERDICT-r4 startup risk surface
+        lowered = jitted.lower(scene, state, cam)
+        t1 = time.time()
+        print(f"startup: trace+lower {t1 - t0:.1f}s", file=sys.stderr)
+        compiled = lowered.compile()
+        t2 = time.time()
+        print(f"startup: compile {t2 - t1:.1f}s", file=sys.stderr)
+        color, state, aux = compiled(scene, state, cam)
+        _ = np.asarray(color[0, 0])
+        print(f"startup: first-exec {time.time() - t2:.1f}s",
+              file=sys.stderr)
+        # the timed loop must reuse the AOT executable: calling the jit
+        # wrapper would re-trace (lower().compile() doesn't seed the
+        # wrapper's dispatch cache)
+        jitted = compiled
+    else:
+        color, state, aux = jitted(scene, state, cam)
+        _ = np.asarray(color[0, 0])
     compile_s = time.time() - t0
     print(f"compile+first: {compile_s:.1f}s", file=sys.stderr)
 

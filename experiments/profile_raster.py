@@ -49,7 +49,7 @@ def main():
     vp, jit_ = cam.mvp, cam.jitter
     indices, tri_mat = scene.tri_opaque, scene.tri_opaque_mat
     T = int(indices.shape[0])
-    cap = max(int(T * 3.0), 4096)
+    cap = max(int(T * 2.0), 4096)  # pipeline.py pair_factor default
     print(f"tris {T} cap {cap}")
 
     clip = jax.jit(lambda s: transform_vertices(

@@ -107,7 +107,13 @@ class RasterConfig:
     tri_chunk: int = 16            # triangles processed per inner-loop step
     max_pairs_factor: float = 8.0  # bin-pair capacity = factor * num_triangles
     alpha_mask: bool = True        # honor alpha-discard (opaque_taa.frag:32-34)
-    mask_peel_layers: int = 1      # 2 = depth-peel a second masked layer
+    # Depth-peeled alpha-MASK transparency layers. 2 is oracle-exact on
+    # the bench workload: vs an arbitrary-depth peel oracle over all 16
+    # orbit frames at 1080p, cap=2 mislabels 8 px total (66.2 dB) while
+    # cap=1 mislabels 12,693 px (34.2 dB, below the 40 dB golden bar) —
+    # experiments/mask_peel_oracle.py. Matches the reference's
+    # per-fragment discard (opaque_taa.frag:32-44) to measured exactness.
+    mask_peel_layers: int = 2
 
 
 @dataclasses.dataclass(frozen=True)
