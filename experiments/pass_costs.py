@@ -41,7 +41,7 @@ def main():
     from vkr_tpu.passes.downsample import build_hiz
     from vkr_tpu.passes.gbuffer import render_gbuffer, upload_scene
     from vkr_tpu.passes.shading import ShadingParams
-    from vkr_tpu.passes.ssr import build_ssr_resources
+    from vkr_tpu.frame import build_ssr_resources
     from vkr_tpu.scene.procedural import sponza_colonnade_scene
 
     W, H = 1920, 1080
@@ -71,12 +71,16 @@ def main():
                         aspect=cfg.aspect, znear=cfg.camera.znear,
                         zfar=cfg.camera.zfar,
                         max_roughness=t.ssr_max_roughness)
-    pyr = jax.jit(_ssr.pack_pyramid)(hiz.mips)
+    # eager: pack_pyramid's NamedTuple carries static ints that a jit
+    # boundary would turn into device arrays
+    pyr = _ssr.pack_pyramid(hiz.mips)
     frame_random = state.frame_index % t.ssr_temporal_rays
-    rays, ssr_occ = jax.jit(lambda *a: registry.get("sssr_trace")(
-        *a, max_iterations=cfg.ssr.max_iterations, use_kernel=True))(
-        pyr, hiz.normal_half, gb.material, ssr_res.pdf_lut, sp,
-        frame_random, ssr_res.halton)
+    # pyr carries static metadata (mip widths) — close over it, don't
+    # pass it through the jit boundary (ints become tracers there).
+    rays, ssr_occ = jax.jit(lambda nh, mat: registry.get("sssr_trace")(
+        pyr, nh, mat, ssr_res.pdf_lut, sp, frame_random, ssr_res.halton,
+        max_iterations=cfg.ssr.max_iterations, use_kernel=True))(
+        hiz.normal_half, gb.material)
     reflections = jax.jit(lambda *a: registry.get("sssr_filter")(
         *a, flags_normalize=cfg.ssr.normalize_filter,
         flags_bilateral=cfg.ssr.bilateral_filter))(
@@ -158,19 +162,43 @@ def main():
         base_angle, weight_ratio=t.weight_ratio,
         reflections_only=cfg.gtao.reflections_only, use_kernel=True),
         depth_half)
-    diff("gtao_filter", lambda a: registry.get("gtao_filter")(
-        depth_half, a, cfg.camera.znear, cfg.camera.zfar), raw_ao)
-    diff("gtao_accumulate", lambda a: registry.get("gtao_accumulate")(
-        depth_half, state.prev_depth_half, a, hiz.velocity_half,
+    # NOTE: perturb an input the pass's GATHER path depends on — a pass
+    # whose window gathers are invariant to the perturbed input gets
+    # them CSE'd/hoisted across the K reps and reads near-zero (first
+    # run of this harness measured taa_resolve "0.33 ms" by perturbing
+    # color while the history reprojection depends on velocity/history).
+    diff("gtao_filter", lambda d: registry.get("gtao_filter")(
+        d, raw_ao, cfg.camera.znear, cfg.camera.zfar), depth_half)
+    diff("gtao_accumulate", lambda v: registry.get("gtao_accumulate")(
+        depth_half, state.prev_depth_half, filtered_ao, v,
         state.gtao_accum, ap, state.frame_index == 0,
-        use_kernel_gather=True), filtered_ao)
-    diff("defered_shading", lambda occ: registry.get("defered_shading")(
-        gb, shade_params, occlusion=occ, reflections=mid["ssr_blurred"],
+        use_kernel_gather=True), hiz.velocity_half)
+    diff("defered_shading", lambda d: registry.get("defered_shading")(
+        gb._replace(depth=d), shade_params, occlusion=mid["occlusion"],
+        reflections=mid["ssr_blurred"],
         brdf_lut=ssr_res.brdf_lut, depth_half=depth_half),
-        mid["occlusion"])
-    diff("taa_resolve", lambda c: registry.get("taa_resolve")(
-        state.taa_history, state.prev_depth, gb.depth, gb.velocity, c,
-        tp, use_kernel_gather=True), color)
+        gb.depth)
+    diff("taa_resolve", lambda v: registry.get("taa_resolve")(
+        state.taa_history, state.prev_depth, gb.depth, v, color,
+        tp, use_kernel_gather=True), gb.velocity)
+    diff("sssr_blur/vel", lambda v: registry.get("sssr_blur")(
+        reflections, depth_half, hiz.normal_half, gb.material,
+        state.ssr_history, v, state.prev_depth_half, blur_params,
+        use_kernel_gather=True), hiz.velocity_half)
+
+    # whole-tail pair under one perturbed dependency (everything in
+    # shading+taa depends on gb.depth) — the trustworthy tail number
+    def tail(d):
+        gb2 = gb._replace(depth=d)
+        col = registry.get("defered_shading")(
+            gb2, shade_params, occlusion=mid["occlusion"],
+            reflections=mid["ssr_blurred"], brdf_lut=ssr_res.brdf_lut,
+            depth_half=depth_half)
+        return registry.get("taa_resolve")(
+            state.taa_history, state.prev_depth, gb2.depth, gb.velocity,
+            col, tp, use_kernel_gather=True)
+
+    diff("tail(shade+taa)", tail, gb.depth)
 
 
 if __name__ == "__main__":

@@ -49,33 +49,43 @@ def main():
     vp, jit_ = cam.mvp, cam.jitter
     indices, tri_mat = scene.tri_opaque, scene.tri_opaque_mat
     T = int(indices.shape[0])
-    cap = max(int(T * 2.0), 4096)  # pipeline.py pair_factor default
+    cap = max(int(T * 1.5), 4096)  # pipeline.py pair_factor default
     print(f"tris {T} cap {cap}")
 
-    clip = jax.jit(lambda s: transform_vertices(
-        s.positions, s.vert_transform, s.transforms, vp))(scene)
-    world_n = jax.jit(lambda s: transform_normals(
-        s.normals, s.vert_transform, s.normal_mats))(scene)
-    vattrs = jnp.concatenate(
-        [scene.uvs, world_n, jnp.zeros((clip.shape[0], 4))], axis=-1)
+    # static pre-expansion SoA fast path (round 5): transposed per-corner
+    # world tables from upload_scene; per-frame transform is one matmul,
+    # no gathers, all front-end math on dense (T,) components
+    clip_o = bench("corner transform x2", jax.jit(
+        lambda cw: (RS.corner_transform_t(cw, vp),
+                    RS.corner_transform_t(cw, vp))),
+        scene.corner_world_o)[0]
+    cattr9 = jnp.concatenate(
+        [scene.corner_attr_o, RS.corner_transform_t(scene.corner_world_o,
+                                                    vp)], axis=0)
 
-    cw = bench("clip+setup", jax.jit(lambda c, i: (
-        lambda corners, weights, src, valid: (
-            RS.triangle_setup(corners, valid, W, H, jit_), weights, src)
-    )(*RS.clip_near_triangles(c, i))), clip, indices)
-    setup, weights, src = cw
+    def clip_setup(c):
+        tri2, weights_t, valid = RS.clip_near_corners_t(c, T)
+        setup_t = RS.triangle_setup_t(
+            RS._corners_from_weights_t(tri2, weights_t), valid, W, H,
+            jit_)
+        return setup_t, weights_t
+
+    setup_t, weights_t = bench("clip+setup", jax.jit(clip_setup), clip_o)
 
     binned = bench("bin_triangles", jax.jit(
-        lambda s: RS.bin_triangles(s, W, H, 8, 128, cap)), setup)
+        lambda s: RS.bin_triangles_t(s.bbox, s.valid, W, H, 8, 128,
+                                     cap)), setup_t)
     pair_tri, seg_starts, seg_counts, overflow = binned
     print("overflow", int(overflow),
           "real pairs", int(np.asarray(seg_counts).sum()))
 
-    cattrs = jax.jit(
-        lambda va, i, w, sr: corner_attributes(va, i, w, sr)
-    )(vattrs, indices, weights, src)
-    tri_rows = bench("build_tri_rows", jax.jit(
-        RR.build_tri_rows), setup, cattrs, tri_mat[src])
+    def rows(s, wt, c9):
+        cattrs_t = RR.corner_attributes_pre_t(c9, wt, T)
+        return RR.build_tri_rows_t(
+            s, cattrs_t, jnp.concatenate([tri_mat, tri_mat]))
+
+    tri_rows = bench("cattr+tri_rows", jax.jit(rows), setup_t, weights_t,
+                     cattr9)
 
     pair_setup = bench("expand_pair_rows", jax.jit(
         RR.expand_pair_rows), tri_rows, pair_tri)

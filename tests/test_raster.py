@@ -316,3 +316,81 @@ class TestBenchOrbitEnclosure:
             d = np.asarray(jit_gbuf(scene, cam).depth)
             cov = float(np.mean(d < 1.0))
             assert cov == 1.0, f"frame {i}: coverage {cov}"
+
+
+class TestSoAFrontEnd:
+    """The component-major (SoA) raster front end (setup.py 'SoA twins',
+    the static-scene fast path) must match the row-major implementation
+    given identical corner inputs. Bitwise equality holds in EAGER mode
+    (reductions transcribed in the same order, _sum3 guarding FMA
+    contraction) but not under jit — XLA fuses the two graph shapes
+    differently and contracts different mul+add pairs into FMAs — so
+    under jit the guarantee is ~1e-6 RELATIVE on every row column, and
+    the integer binning outputs (bboxes, pair layout, segment table)
+    must agree exactly on this seeded workload."""
+
+    def test_bitwise_vs_rowmajor(self):
+        import jax
+
+        from vkr_tpu.raster import pair_rows as RR
+        from vkr_tpu.raster import setup as RS
+        from vkr_tpu.raster.resolve import corner_attributes_pre
+
+        T = 1500
+        k = jax.random.PRNGKey(7)
+        clip = jax.random.normal(k, (T * 3, 4), jnp.float32) * 3
+        clip = clip.at[:, 3].add(5.0)  # mostly in front, some clipped
+        tri = clip.reshape(T, 3, 4)
+        tri_t = tri.transpose(2, 1, 0).reshape(4, 3 * T)
+        jit_ = jnp.asarray([0.001, -0.002], jnp.float32)
+        attr = jax.random.normal(jax.random.PRNGKey(2), (T, 3, 9),
+                                 jnp.float32)
+        attr_t = attr.transpose(2, 1, 0).reshape(9, 3 * T)
+        mat2 = jnp.concatenate([jnp.arange(T, dtype=jnp.int32) % 7] * 2)
+
+        def rowmajor(tri):
+            corners, weights, src, valid = RS.clip_near_corners(tri)
+            s = RS.triangle_setup(corners, valid, 512, 256, jit_)
+            cat = corner_attributes_pre(attr, weights)
+            rows = RR.build_tri_rows(s, cat, mat2)
+            bins = RS.bin_triangles(s, 512, 256, 8, 128, T * 3)
+            return rows, bins
+
+        def soa(tri_t):
+            tri2, wt, valid = RS.clip_near_corners_t(tri_t, T)
+            cc = RS._corners_from_weights_t(tri2, wt)
+            st = RS.triangle_setup_t(cc, valid, 512, 256, jit_)
+            cat = RR.corner_attributes_pre_t(attr_t, wt, T)
+            rows = RR.build_tri_rows_t(st, cat, mat2)
+            bins = RS.bin_triangles_t(st.bbox, st.valid, 512, 256, 8,
+                                      128, T * 3)
+            return rows, bins
+
+        # eager: bitwise on the raster-critical columns (edges, depth
+        # plane, ids, denom, material) — no fusion-dependent FMA
+        # contraction outside jit. The attribute-plane columns 19:46 go
+        # through einsum in the row-major path (a dot op with its own
+        # accumulation) and are relative-tolerance everywhere.
+        ro_e, bo_e = rowmajor(tri)
+        rn_e, bn_e = soa(tri_t)
+        ro_e = np.asarray(ro_e)
+        rn_e = np.asarray(rn_e)
+        assert np.array_equal(ro_e[:, :19], rn_e[:, :19])
+        assert np.array_equal(ro_e[:, 46], rn_e[:, 46])
+        for x, y in zip(bo_e, bn_e):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+        # jit: per-column relative tolerance + exact integer binning
+        ro = np.asarray(jax.jit(rowmajor)(tri)[0])
+        rn, bn = jax.jit(soa)(tri_t)
+        rn = np.asarray(rn)
+        # FMA-contraction ulps are relative to the PRODUCT magnitudes
+        # feeding each plane sum, which cancellation can amplify well
+        # above the output scale — bound loosely per column; the eager
+        # bitwise check above is the strict correctness gate.
+        scale = np.abs(ro).max(0) + 1e-20
+        rel = (np.abs(ro - rn) / scale).max()
+        assert rel <= 1e-3, rel
+        bo = jax.jit(rowmajor)(tri)[1]
+        for x, y in zip(bo, bn):
+            assert np.array_equal(np.asarray(x), np.asarray(y))

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,6 +71,25 @@ class SceneDevice(NamedTuple):
     mat_albedo_tex: jnp.ndarray
     mat_mr_tex: jnp.ndarray
     tex: TextureArray
+    # Static pre-expansion (round 5): per-corner world-space tables built
+    # ONCE at upload. Every per-frame index in the raster front end is
+    # static (vertex indices, node transforms), so the scalarized XLA
+    # gathers (clip[indices] ~945k x 16 B, vattrs[indices] ~945k x 36 B,
+    # transforms[ids] x3 — together ~25% of the G-buffer segment) are paid
+    # once here instead of every frame. The SoA front-end math downstream
+    # of the corner transform is BITWISE identical to the row-major path
+    # (tests/test_raster.py::TestSoAFrontEnd); the corner transform
+    # itself rounds ~1 ulp differently from the generic in-graph
+    # world->clip fusion (isolated knife-edge coverage flips only).
+    # None = use the generic gather path (scenes whose transforms change
+    # per frame re-upload, matching the reference's staged SSBO update).
+    # Layout: component-major, corner-major columns (see setup.py "SoA
+    # twins"): row j of corner_world is world component j, columns
+    # [c*T, (c+1)*T) are corner c of every triangle.
+    corner_world_o: jnp.ndarray = None   # (4, 3*T1) homogeneous world pos
+    corner_attr_o: jnp.ndarray = None    # (5, 3*T1) uv(2) + world normal(3)
+    corner_world_m: jnp.ndarray = None   # (4, 3*T2)
+    corner_attr_m: jnp.ndarray = None    # (5, 3*T2)
 
 
 def _lod_for(tex, uv, albedo_idx):
@@ -82,12 +102,37 @@ def _lod_for(tex, uv, albedo_idx):
     return quad_derivative_lod_native(uv, wh)
 
 
+@jax.jit
+def _corner_tables(positions, normals, uvs, vert_transform, transforms,
+                   normal_mats, tri):
+    """One-time static pre-expansion: per-corner homogeneous world
+    positions (4, 3T) + uv/world-normal corner attributes (5, 3T), in
+    the component-major corner-major layout the SoA raster front end
+    consumes (setup.py SoA twins; columns [c*T, (c+1)*T) = corner c).
+
+    Uses the exact same ops as transform_vertices/transform_normals so
+    the per-frame fast path (VP @ corner_world_t) computes the same
+    length-4 dot pairs as the generic path's (world @ VP^T)[indices]."""
+    mats = transforms[vert_transform]
+    pos_h = jnp.concatenate(
+        [positions, jnp.ones((*positions.shape[:-1], 1), positions.dtype)],
+        axis=-1,
+    )
+    world = jnp.einsum("vij,vj->vi", mats, pos_h, precision="highest")
+    world_n = transform_normals(normals, vert_transform, normal_mats)
+    vattr5 = jnp.concatenate([uvs, world_n], axis=-1)
+    t = tri.shape[0]
+    cw_t = world[tri].transpose(2, 1, 0).reshape(4, 3 * t)
+    at_t = vattr5[tri].transpose(2, 1, 0).reshape(5, 3 * t)
+    return cw_t, at_t
+
+
 def upload_scene(scene: CompiledScene) -> SceneDevice:
     """device_put analog of the reference's staged scene upload
     (scene.cpp:270-303 + TransferCmdPool)."""
     mask = scene.mat_clip_alpha[np.maximum(scene.tri_material, 0)] > 0
     mask &= scene.tri_material >= 0
-    return SceneDevice(
+    dev = SceneDevice(
         positions=jnp.asarray(scene.positions),
         normals=jnp.asarray(scene.normals),
         uvs=jnp.asarray(scene.uvs),
@@ -110,6 +155,15 @@ def upload_scene(scene: CompiledScene) -> SceneDevice:
                  mat_albedo_tex=scene.mat_albedo_tex,
                  mat_mr_tex=scene.mat_mr_tex)),
     )
+    cw_o, ca_o = _corner_tables(
+        dev.positions, dev.normals, dev.uvs, dev.vert_transform,
+        dev.transforms, dev.normal_mats, dev.tri_opaque)
+    cw_m, ca_m = (_corner_tables(
+        dev.positions, dev.normals, dev.uvs, dev.vert_transform,
+        dev.transforms, dev.normal_mats, dev.tri_masked)
+        if int(dev.tri_masked.shape[0]) > 0 else (None, None))
+    return dev._replace(corner_world_o=cw_o, corner_attr_o=ca_o,
+                        corner_world_m=cw_m, corner_attr_m=ca_m)
 
 
 class GBuffer(NamedTuple):
@@ -210,19 +264,36 @@ def render_gbuffer(
     vp = jnp.asarray(view_proj)
     prev_vp = jnp.asarray(prev_view_proj)
 
-    clip = transform_vertices(
-        scene.positions, scene.vert_transform, scene.transforms, vp
-    )
-    prev_clip = transform_vertices(
-        scene.positions, scene.vert_transform, scene.transforms, prev_vp
-    )
-    world_n = transform_normals(
-        scene.normals, scene.vert_transform, scene.normal_mats
-    )
+    # Static-scene fast path: per-corner world tables were pre-expanded at
+    # upload, so the per-frame transform is ONE MXU matmul per subset and
+    # the raster front end runs gather-free (bitwise identical to the
+    # generic path — row-wise matmul commutes with the static gathers).
+    fast = use_pallas and scene.corner_world_o is not None
+
+    from vkr_tpu.raster.setup import corner_transform_t as _corner_clip
+
+    if fast:
+        clip = prev_clip = world_n = None
+        clip_o = _corner_clip(scene.corner_world_o, vp)
+        cattr_o = jnp.concatenate(
+            [scene.corner_attr_o, _corner_clip(scene.corner_world_o,
+                                               prev_vp)], axis=0)
+    else:
+        clip = transform_vertices(
+            scene.positions, scene.vert_transform, scene.transforms, vp
+        )
+        prev_clip = transform_vertices(
+            scene.positions, scene.vert_transform, scene.transforms, prev_vp
+        )
+        world_n = transform_normals(
+            scene.normals, scene.vert_transform, scene.normal_mats
+        )
+        clip_o = cattr_o = None
 
     # Per-vertex attribute pack for the shared resolve planes:
     # uv (2) + world normal (3) + previous clip (4).
-    vattrs = jnp.concatenate([scene.uvs, world_n, prev_clip], axis=-1)
+    vattrs = (None if fast else
+              jnp.concatenate([scene.uvs, world_n, prev_clip], axis=-1))
     rkw = dict(width=width, height=height, jitter=jitter,
                use_pallas=use_pallas, interpret=interpret,
                vertex_attrs=vattrs if use_pallas else None,
@@ -230,7 +301,8 @@ def render_gbuffer(
     akw = dict(width=width, height=height, interpret=interpret,
                row_offset=row_offset)
     vis = rasterize(clip, scene.tri_opaque,
-                    tri_mat=scene.tri_opaque_mat, **rkw)
+                    tri_mat=scene.tri_opaque_mat,
+                    corners_t=clip_o, corner_attrs_t=cattr_o, **rkw)
     depth = vis.depth
     mask = vis.tri_id >= 0
     overflow = vis.overflow
@@ -241,8 +313,25 @@ def render_gbuffer(
 
     has_masked = int(scene.tri_masked.shape[0]) > 0
     if has_masked:
+        if fast:
+            clip_m = _corner_clip(scene.corner_world_m, vp)
+            cattr_m = jnp.concatenate(
+                [scene.corner_attr_m, _corner_clip(scene.corner_world_m,
+                                                   prev_vp)], axis=0)
+        else:
+            clip_m = cattr_m = None
+        # Masked subsets are pair-starved (96 tris on the bench scene vs
+        # 315k opaque): the (8,128)-tile kernel pays its ~4 us/tile fixed
+        # cost across all 2025 tiles for ~2k pairs. 8x512 tiles cut the
+        # program count 4x; the in-tile pair order (ascending triangle
+        # id) is unchanged, so the output is bitwise identical.
+        rkw_b = dict(rkw, tile_w=512) if use_pallas else rkw
         vis_b = rasterize(clip, scene.tri_masked,
-                          tri_mat=scene.tri_masked_mat, **rkw)
+                          tri_mat=scene.tri_masked_mat,
+                          corners_t=clip_m, corner_attrs_t=cattr_m,
+                          keep_prepared=(use_pallas
+                                         and mask_peel_layers >= 2),
+                          **rkw_b)
         overflow = overflow + vis_b.overflow
         attrs_b = _resolve_attrs(
             vis_b, scene.tri_masked, scene.tri_masked_mat, scene.uvs,
@@ -271,9 +360,16 @@ def render_gbuffer(
             # fragment was alpha-discarded, peel to the masked fragment
             # strictly behind it and alpha-test that one too.
             discarded = (vis_b.tri_id >= 0) & (alpha_b == 0.0)
+            # The peel pass differs from the first masked pass ONLY in
+            # peel_depth: rerun just the Pallas kernel over the retained
+            # front-end products instead of redoing clip/setup/bin/rows
+            # (measured ~14 ms/frame for the full rerun at 1080p).
             vis_b2 = rasterize(clip, scene.tri_masked,
                                tri_mat=scene.tri_masked_mat,
-                               peel_depth=vis_b.depth, **rkw)
+                               corners_t=clip_m, corner_attrs_t=cattr_m,
+                               peel_depth=vis_b.depth,
+                               prepared=vis_b if use_pallas else None,
+                               **rkw_b)
             overflow = overflow + vis_b2.overflow
             attrs_b2 = _resolve_attrs(
                 vis_b2, scene.tri_masked, scene.tri_masked_mat,

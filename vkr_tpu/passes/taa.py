@@ -69,18 +69,30 @@ def taa_resolve(
         & (prev_uv[..., 1] >= 0) & (prev_uv[..., 1] <= 1)
     )
 
-    def hist_tap(texel_offset=None):
-        return reproject_bilinear(
-            history_color, velocity, texel_offset=texel_offset,
-            use_kernel=use_kernel_gather, interpret=interpret,
-            row0=row0,
-        )
+    hist_depth_tap = None
+    if use_kernel_gather:
+        # All six history fetches (center + 4-neighbor clamp box +
+        # prev-depth reprojection) share one velocity field and one
+        # +-1-texel neighborhood: ONE fused kernel call instead of six
+        # window gathers (round-5 pass_costs: 29.9 -> see ROADMAP).
+        from vkr_tpu.raster.gather_kernel import taa_history_gather
 
-    history = hist_tap()
-    c0 = hist_tap((1, 0))
-    c1 = hist_tap((0, 1))
-    c2 = hist_tap((-1, 0))
-    c3 = hist_tap((0, -1))
+        history, (c0, c1, c2, c3), hist_depth_tap = taa_history_gather(
+            history_color, history_depth, velocity[..., 1] * H,
+            velocity[..., 0] * W, interpret=interpret, row0=row0)
+    else:
+        def hist_tap(texel_offset=None):
+            return reproject_bilinear(
+                history_color, velocity, texel_offset=texel_offset,
+                use_kernel=use_kernel_gather, interpret=interpret,
+                row0=row0,
+            )
+
+        history = hist_tap()
+        c0 = hist_tap((1, 0))
+        c1 = hist_tap((0, 1))
+        c2 = hist_tap((-1, 0))
+        c3 = hist_tap((0, -1))
     color_min = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3))
     color_max = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
     history = jnp.clip(history, color_min, color_max)
@@ -90,6 +102,8 @@ def taa_resolve(
     def world(dtex, inv_cam, suv, vel=None):
         if vel is None:
             d = dtex
+        elif hist_depth_tap is not None:
+            d = hist_depth_tap  # fused kernel's prev-depth tap
         else:
             d = reproject_bilinear(dtex, vel,
                                    use_kernel=use_kernel_gather,

@@ -85,3 +85,64 @@ def expand_pair_rows(tri_rows, pair_tri_sorted):
     rows = jnp.where(live, rows, dead)
     pad = jnp.zeros((2 * _CHUNK, ROW_WIDTH), jnp.float32)
     return jnp.concatenate([rows, pad], axis=0).reshape(-1, 128)
+
+
+# ------------------------------------------------------- SoA twins (round 5)
+
+def corner_attributes_pre_t(attr_t, weights, n_src: int):
+    """resolve.corner_attributes_pre on component-major inputs.
+
+    attr_t: (K, 3T) static per-corner attribute table (corner-major
+    columns, built at scene upload); weights: [c][m] lists of (2T,) from
+    setup.clip_near_corners_t. Returns cattrs [c][k] lists of (2T,) —
+    same left-associated reduction as the row-major broadcast-sum."""
+    import jax.numpy as _jnp
+
+    K = attr_t.shape[0]
+    T = n_src
+    from vkr_tpu.raster.setup import _sum3
+
+    att2 = [[_jnp.concatenate([attr_t[k, m * T:(m + 1) * T]] * 2)
+             for k in range(K)] for m in range(3)]
+    return [[_sum3(weights[c][0] * att2[0][k],
+                   weights[c][1] * att2[1][k],
+                   weights[c][2] * att2[2][k])
+             for k in range(K)] for c in range(3)]
+
+
+def build_tri_rows_t(setup_t, cattrs, tri_mat):
+    """build_tri_rows on component-major inputs: one (TC, 64) stack at
+    the end instead of (TC, 3)-shaped intermediates (which pad lanes
+    3 -> 128 on TPU).
+
+    setup_t: setup.TriangleSetupT; cattrs: [c][k] lists of (TC,);
+    tri_mat: (TC,) int32."""
+    import jax.numpy as _jnp
+
+    a, b, c = setup_t.a, setup_t.b, setup_t.c
+    iw = setup_t.inv_w
+    tc = a[0].shape[0]
+    ids = _jnp.arange(tc, dtype=_jnp.float32)
+    zero = _jnp.zeros((tc,), _jnp.float32)
+
+    from vkr_tpu.raster.setup import _sum3
+
+    denom = [
+        _sum3(a[0] * iw[0], a[1] * iw[1], a[2] * iw[2]),
+        _sum3(b[0] * iw[0], b[1] * iw[1], b[2] * iw[2]),
+        _sum3(c[0] * iw[0], c[1] * iw[1], c[2] * iw[2]),
+    ]
+    aw = [[cattrs[i][k] * iw[i] for k in range(N_CHANNELS)]
+          for i in range(3)]
+    cols = list(a) + list(b) + list(c) + list(setup_t.zplane)
+    cols += [ids, zero, zero, zero] + denom
+    for k in range(N_CHANNELS):  # interleaved [p_k, q_k, r_k]
+        cols.append(_sum3(a[0] * aw[0][k], a[1] * aw[1][k],
+                          a[2] * aw[2][k]))
+        cols.append(_sum3(b[0] * aw[0][k], b[1] * aw[1][k],
+                          b[2] * aw[2][k]))
+        cols.append(_sum3(c[0] * aw[0][k], c[1] * aw[1][k],
+                          c[2] * aw[2][k]))
+    cols.append(tri_mat.astype(_jnp.float32))
+    cols += [zero] * (ROW_WIDTH - len(cols))
+    return _jnp.stack(cols, axis=-1)

@@ -26,6 +26,20 @@ def corner_attributes(vertex_attr, indices, weights, src):
     return (weights[..., :, None] * tri_attr[:, None, :, :]).sum(2)
 
 
+def corner_attributes_pre(corner_attr, weights):
+    """corner_attributes for PRE-GATHERED per-triangle corner values.
+
+    corner_attr: (T, 3, K) attribute values at each source triangle's own
+    corners (built once at scene upload — no per-frame `vertex_attr[
+    indices]` gather, which is scalarized on TPU). clip_near_corners
+    emits exactly two clipped triangles per source triangle in source
+    order, so `indices[src]`-gathered rows are just the table stacked
+    twice — a concatenate, not a gather.
+    """
+    tri_attr = jnp.concatenate([corner_attr, corner_attr], axis=0)
+    return (weights[..., :, None] * tri_attr[:, None, :, :]).sum(2)
+
+
 def pixel_barycentrics(tid, setup, width: int, height: int,
                        row_offset=None):
     """Perspective-correct barycentrics for each pixel's winning triangle.

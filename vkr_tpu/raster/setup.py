@@ -66,18 +66,32 @@ def transform_normals(normals, transform_ids, normal_mats):
 
 
 def clip_near_triangles(clip, indices):
+    """Near-plane clipping from a shared vertex set: gathers the corner
+    positions (the generic path) and defers to clip_near_corners.
+
+    NOTE (round 5, measured): `clip[indices]` is a scalarized XLA gather
+    (~945k taps x 16 B on the bench scene, ~half of the 24 ms clip+setup
+    stage). Static scenes pre-gather world-space corners at upload
+    (gbuffer.upload_scene) and enter via clip_near_corners directly —
+    gathering commutes with the row-wise view-projection matmul, so both
+    routes are bitwise identical.
+    """
+    return clip_near_corners(clip[indices])
+
+
+def clip_near_corners(tri):
     """Near-plane (z=0) clipping: every input triangle yields up to two
     output triangles with all vertices at z >= 0.
 
     Vulkan clips primitives against z=0 (depth-zero-to-one); doing it here
-    keeps the downstream raster math free of w<=0 poles. Output is a new
+    keeps the downstream raster math free of w<=0 poles. Input is the
+    per-triangle corner positions (T, 3, 4) in clip space. Output is a new
     vertex set: corner positions per output triangle (2T, 3, 4) plus
     interpolation weights (2T, 3, 3) expressing each output corner as a
     convex combination of the source triangle's corners (used later to
     interpolate attributes of clipped corners), plus the source triangle id
     (2T,) and validity mask (2T,).
     """
-    tri = clip[indices]  # (T, 3, 4)
     z = tri[..., 2]
     inside = z >= 0.0  # (T, 3)
     n_inside = inside.sum(axis=-1)  # (T,)
@@ -121,7 +135,7 @@ def clip_near_triangles(clip, indices):
     def mix(wa, wb, t):
         return (1.0 - t[:, None]) * wa + t[:, None] * wb
 
-    eye = jnp.eye(3, dtype=clip.dtype)
+    eye = jnp.eye(3, dtype=tri.dtype)
     wA = jnp.broadcast_to(eye[0], (tri.shape[0], 3))
     wB = jnp.broadcast_to(eye[1], (tri.shape[0], 3))
     wC = jnp.broadcast_to(eye[2], (tri.shape[0], 3))
@@ -262,6 +276,213 @@ def triangle_setup(
     )
 
 
+# ------------------------------------------------------- SoA twins (round 5)
+# Component-major (transposed) implementations of the near-clip + setup
+# math, used by the static-scene fast path. Rationale (measured): XLA
+# tiles the minor two dims of every buffer to (8, 128), so (T, 3) f32
+# intermediates pad lanes 3 -> 128 (42x waste) and (T, 3, 4) buffers pad
+# to (T, 8, 128) — the clip+setup stage cost 24 ms at 315k triangles
+# mostly on padded layout traffic + the clip[indices] gather. Here every
+# value is a dense (T,) component; the ARITHMETIC (ops, operand pairing,
+# reduction association) is transcribed literally from the row-major
+# functions above, so results are value-identical.
+#
+# Conventions: corner tables are (k, 3T) with corner-major columns
+# [c*T, (c+1)*T) — a corner's component is a contiguous static slice.
+
+
+class TriangleSetupT(NamedTuple):
+    """TriangleSetup in component-major layout: per-edge/per-corner lists
+    of dense (T,) arrays (kept unstacked so XLA fuses the whole front
+    end; stack only at consumption boundaries)."""
+
+    a: list          # [3] of (T,)
+    b: list          # [3] of (T,)
+    c: list          # [3] of (T,)
+    zplane: list     # [3] of (T,)  [za, zb, zc]
+    inv_area: jnp.ndarray  # (T,)
+    inv_w: list      # [3] of (T,)
+    valid: jnp.ndarray     # (T,) bool
+    bbox: list       # [4] of (T,) int32  [x0, y0, x1, y1]
+
+    def to_rowmajor(self) -> "TriangleSetup":
+        """Adapter for consumers of the row-major NamedTuple (the
+        VisibilityBuffer record; DCE'd when unused)."""
+        return TriangleSetup(
+            a=jnp.stack(self.a, -1), b=jnp.stack(self.b, -1),
+            c=jnp.stack(self.c, -1), zplane=jnp.stack(self.zplane, -1),
+            inv_area=self.inv_area, inv_w=jnp.stack(self.inv_w, -1),
+            valid=self.valid, bbox=jnp.stack(self.bbox, -1),
+        )
+
+
+def _sum3(p0, p1, p2):
+    """Bitwise-stable 3-term sum. XLA/LLVM contract explicit
+    `a*b + c` chains into FMAs (skipping the product rounding), so a
+    chain form diverges from the row-major code's
+    materialize-products-then-reduce by ~1 ulp — which the edge-equation
+    cancellation amplifies into visible depth-plane error (measured
+    4.6e-5 absolute depth dev). stack+reduce reproduces jnp.sum /
+    the broadcast-sum reduction EXACTLY."""
+    return jnp.stack([p0, p1, p2], 0).sum(0)
+
+
+def corner_transform_t(cw_t, m):
+    """(4, 3T) corner table x (4, 4) matrix -> (4, 3T) clip components.
+
+    The transposed form of transform_vertices' `world @ VP^T` (same
+    length-4 dot pairs, same precision flags)."""
+    return jnp.matmul(jnp.asarray(m), cw_t, precision="highest")
+
+
+def clip_near_corners_t(clip_t, n_src: int):
+    """clip_near_corners on component-major corners.
+
+    clip_t: (4, 3T) clip positions, corner-major columns. Returns
+    (tri2 [3][4] of (2T,) source corner comps, weights [3][3] of (2T,),
+    valid (2T,)) — the output corners themselves are weights x tri2
+    (built by the caller only if needed)."""
+    T = n_src
+    tri = [[clip_t[j, c * T:(c + 1) * T] for j in range(4)]
+           for c in range(3)]  # [corner][comp] (T,)
+    z = [tri[c][2] for c in range(3)]
+    i0, i1, i2 = (zc >= 0.0 for zc in z)
+    n_inside = (i0.astype(jnp.int32) + i1.astype(jnp.int32)
+                + i2.astype(jnp.int32))
+
+    rot_one = jnp.where(i0, 0, jnp.where(i1, 1, 2))
+    rot_two = jnp.where(~i0, 1, jnp.where(~i1, 2, 0))
+    rot = jnp.where(n_inside == 1, rot_one, rot_two)  # (T,)
+
+    def _cyc(vals, i):
+        return jnp.where(
+            rot == 0, vals[i % 3],
+            jnp.where(rot == 1, vals[(i + 1) % 3], vals[(i + 2) % 3]),
+        )
+
+    zr = [_cyc(z, c) for c in range(3)]
+
+    def lerp_t(za, zb):
+        return za / jnp.where(jnp.abs(za - zb) < 1e-20, 1e-20, za - zb)
+
+    t01 = lerp_t(zr[0], zr[1])
+    t12 = lerp_t(zr[1], zr[2])
+    t02 = lerp_t(zr[0], zr[2])
+
+    one = jnp.ones_like(t01)
+    zero = jnp.zeros_like(t01)
+    # mix((1-t)*wa + t*wb) transcribed literally per component (keeps
+    # sign-of-zero semantics identical to the row-major form)
+    wA = [one, zero, zero]
+    wB = [zero, one, zero]
+    wC = [zero, zero, one]
+
+    def mix(wa, wb, t):
+        return [(1.0 - t) * a_ + t * b_ for a_, b_ in zip(wa, wb)]
+
+    wAB = mix(wA, wB, t01)
+    wBC = mix(wB, wC, t12)
+    wAC = mix(wA, wC, t02)
+
+    case3 = [wA, wB, wC]
+    case1 = [wA, wAB, wAC]
+    case2 = [wA, wB, wBC]
+    m3 = n_inside == 3
+    m1 = n_inside == 1
+    w1 = [[jnp.where(m3, case3[c][k],
+                     jnp.where(m1, case1[c][k], case2[c][k]))
+           for k in range(3)] for c in range(3)]
+    w2 = [[[wA, wBC, wAC][c][k] for k in range(3)] for c in range(3)]
+
+    def unrotate(w):
+        return [[jnp.where(rot == 0, w[c][k % 3],
+                           jnp.where(rot == 1, w[c][(k - 1) % 3],
+                                     w[c][(k - 2) % 3]))
+                 for k in range(3)] for c in range(3)]
+
+    w1 = unrotate(w1)
+    w2 = unrotate(w2)
+
+    weights = [[jnp.concatenate([w1[c][k], w2[c][k]])
+                for k in range(3)] for c in range(3)]  # [c][k] (2T,)
+    tri2 = [[jnp.concatenate([tri[m][j], tri[m][j]]) for j in range(4)]
+            for m in range(3)]  # [src corner][comp] (2T,)
+    valid = jnp.concatenate([n_inside >= 1, n_inside == 2])
+    return tri2, weights, valid
+
+
+def _corners_from_weights_t(tri2, weights):
+    """out[c][j] = sum_m weights[c][m] * tri2[m][j] (reduction matches
+    the row-major broadcast-sum bitwise — see _sum3)."""
+    return [[_sum3(weights[c][0] * tri2[0][j],
+                   weights[c][1] * tri2[1][j],
+                   weights[c][2] * tri2[2][j])
+             for j in range(4)] for c in range(3)]
+
+
+def triangle_setup_t(
+    corners, valid, width: int, height: int, jitter=None,
+    full_height: int | None = None, y_offset=None,
+) -> TriangleSetupT:
+    """triangle_setup on component-major corners ([3][4] of (T,))."""
+    inv_w, x, y, d = [], [], [], []
+    for c in range(3):
+        w = corners[c][3]
+        iw = 1.0 / jnp.where(jnp.abs(w) < 1e-20, 1e-20, w)
+        ndc = [corners[c][j] * iw for j in range(3)]
+        if jitter is not None:
+            jit_ = jnp.asarray(jitter)
+            ndc[0] = ndc[0] + jit_[0]
+            ndc[1] = ndc[1] + jit_[1]
+        inv_w.append(iw)
+        x.append((ndc[0] * 0.5 + 0.5) * width)
+        y.append((ndc[1] * 0.5 + 0.5) * (full_height or height))
+        d.append(ndc[2])
+    y_off = 0 if y_offset is None else y_offset
+
+    area = (x[1] - x[0]) * (y[2] - y[0]) - (y[1] - y[0]) * (x[2] - x[0])
+    s = jnp.where(area >= 0.0, 1.0, -1.0)
+    abs_area = jnp.abs(area)
+    ok = valid & (abs_area > 1e-12)
+
+    a, b, cc, c_unb = [], [], [], []
+    for j, k in ((1, 2), (2, 0), (0, 1)):  # edge i opposite corner i
+        ai = -(y[k] - y[j]) * s
+        bi = (x[k] - x[j]) * s
+        ci = ((y[k] - y[j]) * x[j] - (x[k] - x[j]) * y[j]) * s
+        inclusive = (ai > 0.0) | ((ai == 0.0) & (bi > 0.0))
+        edge_len = jnp.sqrt(ai * ai + bi * bi)
+        a.append(ai)
+        b.append(bi)
+        c_unb.append(ci)
+        cc.append(jnp.where(inclusive, ci, ci - _FILL_EPS * edge_len))
+
+    inv_area = 1.0 / jnp.where(abs_area < 1e-20, 1e-20, abs_area)
+    za = _sum3(a[0] * d[0], a[1] * d[1], a[2] * d[2]) * inv_area
+    zb = _sum3(b[0] * d[0], b[1] * d[1], b[2] * d[2]) * inv_area
+    zc = _sum3(c_unb[0] * d[0], c_unb[1] * d[1],
+               c_unb[2] * d[2]) * inv_area
+
+    xmin = jnp.minimum(jnp.minimum(x[0], x[1]), x[2])
+    xmax = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
+    ymin = jnp.minimum(jnp.minimum(y[0], y[1]), y[2])
+    ymax = jnp.maximum(jnp.maximum(y[0], y[1]), y[2])
+    x0 = jnp.clip(jnp.floor(xmin - 0.5), 0, width - 1)
+    x1 = jnp.clip(jnp.ceil(xmax - 0.5), 0, width - 1)
+    y0 = jnp.clip(jnp.floor(ymin - 0.5) - y_off, 0, height - 1)
+    y1 = jnp.clip(jnp.ceil(ymax - 0.5) - y_off, 0, height - 1)
+    offscreen = (
+        (xmax < 0.5) | (xmin > width - 0.5)
+        | (ymax < y_off + 0.5) | (ymin > y_off + height - 0.5)
+    )
+    ok = ok & ~offscreen
+    bbox = [v.astype(jnp.int32) for v in (x0, y0, x1, y1)]
+
+    return TriangleSetupT(a=a, b=b, c=cc, zplane=[za, zb, zc],
+                          inv_area=inv_area, inv_w=inv_w, valid=ok,
+                          bbox=bbox)
+
+
 PAIR_ALIGN = 8  # kernel DMA row alignment (segments may start anywhere;
                 # kernels round the start down and skip, see kernel.py)
 
@@ -289,16 +510,33 @@ def bin_triangles(
     seg_starts (n_tiles,) int32 dense starts, seg_counts (n_tiles,) int32,
     overflow () int32 — dropped pairs, 0 in healthy runs).
     """
+    return bin_triangles_t(
+        [setup.bbox[:, i] for i in range(4)], setup.valid,
+        width, height, tile_h, tile_w, pair_capacity,
+    )
+
+
+def bin_triangles_t(
+    bbox,   # [4] of (T,) int32 components [x0, y0, x1, y1]
+    valid,  # (T,) bool
+    width: int,
+    height: int,
+    tile_h: int,
+    tile_w: int,
+    pair_capacity: int,
+):
+    """bin_triangles on bbox components (shared body — the binning math
+    is 1-D throughout)."""
     tiles_x = -(-width // tile_w)
     tiles_y = -(-height // tile_h)
     n_tiles = tiles_x * tiles_y
 
-    bx0 = setup.bbox[:, 0] // tile_w
-    by0 = setup.bbox[:, 1] // tile_h
-    bx1 = setup.bbox[:, 2] // tile_w
-    by1 = setup.bbox[:, 3] // tile_h
-    wspan = jnp.where(setup.valid, bx1 - bx0 + 1, 0)
-    hspan = jnp.where(setup.valid, by1 - by0 + 1, 0)
+    bx0 = bbox[0] // tile_w
+    by0 = bbox[1] // tile_h
+    bx1 = bbox[2] // tile_w
+    by1 = bbox[3] // tile_h
+    wspan = jnp.where(valid, bx1 - bx0 + 1, 0)
+    hspan = jnp.where(valid, by1 - by0 + 1, 0)
     counts = wspan * hspan  # (T,)
 
     starts = jnp.cumsum(counts) - counts  # exclusive prefix
