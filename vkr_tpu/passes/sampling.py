@@ -174,6 +174,10 @@ def bilinear_from_quad(qimg, channels: int, uv):
     xi = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     rows = qimg[yi, xi]  # (..., 4C) — single gather
+    if rows.dtype != jnp.float32:
+        # sub-f32 storage (e.g. the reference's R16G16_SFLOAT BRDF
+        # LUT): gather narrow, filter in f32 like the sampler hardware
+        rows = rows.astype(jnp.float32)
     c = channels
     t00 = rows[..., 0 * c : 1 * c]
     t10 = rows[..., 1 * c : 2 * c]

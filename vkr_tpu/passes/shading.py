@@ -189,6 +189,10 @@ def deferred_shading(
         from vkr_tpu.passes.sampling import bilinear_from_quad, quad_pack
 
         lut_uv = jnp.stack([biased_roughness, ndv], axis=-1)
+        # NOTE (round 5, measured): storing the quad rows as f16
+        # (the reference's R16G16_SFLOAT, advanced_ssr.cpp:91) made
+        # this gather SLOWER (shading 14.3 -> 22.2 ms/rep) — TPU's
+        # scalarized gather pessimizes sub-f32 element types; reverted.
         ssr_brdf = bilinear_from_quad(quad_pack(brdf_lut), 2, lut_uv)
         lo = lo + refl * (
             f0 * ssr_brdf[..., 0:1] + ssr_brdf[..., 1:2]

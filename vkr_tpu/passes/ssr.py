@@ -827,7 +827,8 @@ def ssr_blur(
     r_pix = jnp.floor(3.0 * sigma - 0.01)
 
     center_normal = decode_normal(band(normal_half))
-    g = 1.0 / (2.0 * PI * sigma * sigma)
+    # blur.comp's gaussian prefactor 1/(2 pi sigma^2) multiplies every
+    # tap equally and cancels in color/weight_sum — not computed.
     e = 2.0 * sigma * sigma
 
     pad = MAX_BLUR_RADIUS
@@ -845,8 +846,11 @@ def ssr_blur(
                      ((0, 0), (pad, pad), (0, 0)), mode="edge")
     depth_p = jnp.pad(halo_rows(depth_half), ((0, 0), (pad, pad)),
                       mode="edge")
-    normal_p = jnp.pad(halo_rows(normal_half),
-                       ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    # decode the octahedral normals ONCE on the padded array instead of
+    # per tap (529 taps x ~8 decode ops on the full image)
+    normal_p = decode_normal(jnp.pad(
+        halo_rows(normal_half), ((0, 0), (pad, pad), (0, 0)),
+        mode="edge"))
     depth_c = band(depth_half)
 
     side = 2 * MAX_BLUR_RADIUS + 1
@@ -860,16 +864,14 @@ def ssr_blur(
         in_r = (jnp.abs(fi) <= r_pix) & (jnp.abs(fj) <= r_pix)
         p_depth = jax.lax.dynamic_slice(depth_p, (pad + j, pad + i),
                                         (h, w))
-        p_norm = decode_normal(
-            jax.lax.dynamic_slice(normal_p, (pad + j, pad + i, 0),
-                                  (h, w, 2))
-        )
+        p_norm = jax.lax.dynamic_slice(normal_p, (pad + j, pad + i, 0),
+                                       (h, w, 3))
         bw = jnp.maximum(
             1.0 - 1000.0 * jnp.abs(depth_c - p_depth)
             / jnp.abs(depth_c).clip(1e-20), 0.0,
         )
         nw = jnp.maximum((center_normal * p_norm).sum(-1), 0.0)
-        wgt = g * jnp.exp(-(fi * fi + fj * fj) / e) * bw * nw
+        wgt = jnp.exp(-(fi * fi + fj * fj) / e) * bw * nw
         wgt = jnp.where(in_r, wgt, 0.0)
         color = color + (
             jax.lax.dynamic_slice(refl_p, (pad + j, pad + i, 0),
@@ -881,7 +883,10 @@ def ssr_blur(
         0, side * side, tap,
         (jnp.zeros((h, w, 3), jnp.float32), jnp.zeros((h, w), jnp.float32)),
     )
-    color = color / jnp.maximum(weight_sum, 0.001)[..., None]
+    # the dropped gaussian prefactor g = 1/(2 pi sigma^2) rescales the
+    # blur.comp weight floor: max(g*ws, 0.001) == g * max(ws, 0.001/g)
+    floor = 0.001 * (2.0 * math.pi) * sigma * sigma
+    color = color / jnp.maximum(weight_sum, floor)[..., None]
 
     # history reprojection (blur.comp:82-106)
     velocity = band(velocity_half)
