@@ -51,6 +51,57 @@ def _signature(name: str, args, extra_key: str = "") -> str:
     return h.hexdigest()[:24]
 
 
+_REGISTERED = False
+
+
+def _register_serializations():
+    """Register the package's NamedTuple pytree nodes with jax.export
+    (serialized artifacts must name every custom node type)."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    from jax import export as _export
+
+    from vkr_tpu.core.framestate import FrameState
+    from vkr_tpu.frame import CameraFrame, SSRResources, Tuning
+    from vkr_tpu.passes.gbuffer import GBuffer, SceneDevice
+    from vkr_tpu.raster.texture import TextureArray
+
+    for cls in (CameraFrame, SSRResources, Tuning, GBuffer,
+                SceneDevice):
+        try:
+            _export.register_namedtuple_serialization(
+                cls, serialized_name=f"vkr_tpu.{cls.__name__}")
+        except ValueError as e:
+            if "already registered" not in str(e):
+                raise
+
+    import json
+
+    def _reg_node(cls, ser, des):
+        try:
+            _export.register_pytree_node_serialization(
+                cls, serialized_name=f"vkr_tpu.{cls.__name__}",
+                serialize_auxdata=ser, deserialize_auxdata=des)
+        except ValueError as e:
+            if "already registered" not in str(e):
+                raise
+
+    # FrameState: custom pytree class, auxdata None
+    _reg_node(FrameState, lambda aux: b"", lambda b: None)
+
+    def _ser(aux):  # TextureArray auxdata: nested tuples of ints/None
+        return json.dumps(aux).encode()
+
+    def _des(b):
+        offsets, sizes, flat_len, uniform_wrap, n_levels = json.loads(b)
+        return (tuple(offsets), tuple(sizes), flat_len, uniform_wrap,
+                n_levels)
+
+    _reg_node(TextureArray, _ser, _des)
+    _REGISTERED = True
+
+
 def cached_jit(name: str, fn, example_args, *, donate_argnums=(),
                cache_dir: str | None = None, verbose: bool = False,
                extra_key: str = ""):
@@ -79,6 +130,8 @@ def _cached_jit_impl(name: str, fn, example_args, *, donate_argnums,
         return jax.jit(fn, donate_argnums=donate_argnums)
 
     from jax import export as _export
+
+    _register_serializations()
 
     if cache_dir is None:  # repo-local, beside the other content caches
         cache_dir = str(
