@@ -367,7 +367,8 @@ _M0_WIN = 256     # mip-0 dynamic-window rows (16-aligned bf16 VMEM slice)
 
 def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
                     h, w, offsets, widths, heights, fovy, aspect,
-                    znear, zfar, start_iter, end_iter, ablate=""):
+                    znear, zfar, start_iter, end_iter, ablate="",
+                    classgate=False):
     """Global hierarchical march, iterations [start_iter, end_iter).
 
     Fetch cost is split by mip class: rays CRUISE at coarse mips, so the
@@ -443,9 +444,25 @@ def _phase_b_kernel(cs_ref, hi_ref, lo_ref, hi0_ref, lo0_ref, out_ref, *,
         flat = off + yi * wl + xi
         frow = flat >> 7
         if row2 < R and "nocoarse" not in ablate:
-            # coarse class (mips >= 2): always fetched
-            ohc = ((frow - row2)[..., None] == rc_iota).astype(jnp.bfloat16)
-            rs = contract(ohc, hi_c, lo_c)
+            # coarse class (mips >= 2): fine rays' frow < row2 never
+            # matches the one-hot, and done rays' surface_z is ignored
+            # by _step (the mip-1 class already masks them out), so the
+            # fetch only ever SERVES act & mip>=2 rays
+            def fetchc():
+                ohc = ((frow - row2)[..., None]
+                       == rc_iota).astype(jnp.bfloat16)
+                return contract(ohc, hi_c, lo_c)
+
+            if classgate:
+                # VKR_MARCH_CLASSGATE experiment: skip the coarse einsum
+                # pair on iterations where the tile has no cruising ray
+                # (pays off only with mip-class-sorted compaction, which
+                # makes blocks fetch-class-homogeneous)
+                rs = jax.lax.cond(
+                    jnp.any((st["mip"] >= 2) & act), fetchc,
+                    lambda: jnp.zeros((8, 128, 128), jnp.float32))
+            else:
+                rs = fetchc()
         else:
             rs = jnp.zeros((8, 128, 128), jnp.float32)
 
@@ -765,6 +782,7 @@ def _march_impl(mips, origin, direction, camera_start, w0, row0, *,
                 # (VKR_MARCH_ABLATE="nocoarse,nomip1,nocol,nomip0" subsets);
                 # production traces always see "" (same lowered HLO)
                 ablate=os.environ.get("VKR_MARCH_ABLATE", ""),
+                classgate=bool(os.environ.get("VKR_MARCH_CLASSGATE")),
             ),
             grid_spec=grid_b,
             out_shape=jax.ShapeDtypeStruct(
@@ -817,9 +835,19 @@ def _march_impl(mips, origin, direction, camera_start, w0, row0, *,
         # the sort key packs the ray index into 24 bits under the done
         # flag (cf. bin_triangles' guarded packed sort)
         done_f = cs[N_CONS + di] > 0.5
-        key = done_f.astype(jnp.int32) * (1 << 24) + jnp.arange(
-            n_px, dtype=jnp.int32
-        )
+        ray_ix = jnp.arange(n_px, dtype=jnp.int32)
+        if os.environ.get("VKR_MARCH_MIPSORT"):
+            # experiment (pair with VKR_MARCH_CLASSGATE): pack survivors
+            # sorted by fetch class — crawlers (mip <= 1) first, cruisers
+            # (mip >= 2) after — so compacted blocks become fetch-class-
+            # homogeneous and the kernel's per-class conds actually skip.
+            # Pixel order is preserved WITHIN each class, keeping the
+            # mip-0 window's spatial-coherence assumption intact.
+            cruise = cs[N_CONS + _ST.index("mip")] >= 1.5
+            key = (done_f.astype(jnp.int32) * (1 << 25)
+                   + cruise.astype(jnp.int32) * (1 << 24) + ray_ix)
+        else:
+            key = done_f.astype(jnp.int32) * (1 << 24) + ray_ix
         idx = (jnp.sort(key)[:cap]) & ((1 << 24) - 1)
         comp = cs.T[idx].T  # one row gather: (21, cap)
 
